@@ -1,0 +1,9 @@
+from .lattice import Lattice, UnitCell
+from .library import (
+    Chain, SquareLattice, CubicLattice, TriangularLattice, Honeycomb,
+    GenericLattice, choose_lattice,
+)
+from .iterators import (
+    EachSite, EachSiteAndFlavor, OnSite, EachSitePair, EachSitePairByDistance,
+    EachLocalQuadByDistance, EachLocalQuadBySyncedDistance,
+)

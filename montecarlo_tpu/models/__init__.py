@@ -1,0 +1,3 @@
+from .base import Model
+from .ising import IsingModel, IsingTc
+from .hubbard import HubbardModel, HubbardModelAttractive, HubbardModelRepulsive

@@ -1,0 +1,140 @@
+"""Stabilized dense linear algebra for DQMC.
+
+TPU-native replacement for the reference's hand-vectorized kernels
+(src/linalg/general.jl, src/linalg/UDT.jl). Everything here is a pure function
+over the trailing two axes; arbitrary leading batch axes (chains, flavor
+blocks) broadcast for free — the role of the reference's `BlockDiagonal`
+type (src/linalg/blockdiagonal.jl) is played by an extra leading axis.
+
+UDT decomposition (reference: udt_AVX_pivot!, src/linalg/UDT.jl:192-281):
+A = U · diag(D) · T with U unitary and D positive. Column pivoting is realized
+as a one-shot column-norm sort *before* an unpivoted QR — the greedy max-norm
+pivot order of the reference equals the norm-descending order for the strongly
+column-scaled propagator products DQMC produces, and one-shot pivoting keeps
+the QR batched and MXU-friendly (no data-dependent inner loop). The "dirty T"
+form (apply_pivot=Val(false), UDT.jl:283-306) is kept: ``udt_dirty`` returns
+the triangular factor R and the pivot so that downstream triangular solves
+(`rdiv_dirty` = reference rdivp!, src/linalg/general.jl:138-166) stay cheap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _adj(A):
+    return jnp.swapaxes(A, -1, -2).conj()
+
+
+def udt_dirty(A):
+    """A = U · diag(D) · T  with  T = R[:, inv_piv] (i.e. T·P = R upper-tri).
+
+    Returns (U, D, R, piv):
+      U    (..., n, n) unitary
+      D    (..., n)    positive real
+      R    (..., n, n) upper triangular with unit-magnitude diagonal ("dirty T")
+      piv  (..., n)    column permutation: A[..., :, piv] = U D R
+    """
+    norms = jnp.linalg.norm(A, axis=-2)
+    piv = jnp.argsort(-norms, axis=-1)
+    Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1)
+    Q, R = jnp.linalg.qr(Ap)
+    d = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1).real)
+    d = jnp.maximum(d, jnp.finfo(d.dtype).tiny)
+    Rs = R / d[..., :, None]
+    return Q, d, Rs, piv
+
+
+def udt(A):
+    """A = U · diag(D) · T with T fully formed (pivot applied)."""
+    U, D, R, piv = udt_dirty(A)
+    T = scatter_columns(R, piv)
+    return U, D, T
+
+
+def scatter_columns(R, piv):
+    """Given M and piv with A[..., :, piv] = M, return A (apply P^T on the
+    right): out[..., :, piv[j]] = M[..., :, j]."""
+    ipiv = jnp.argsort(piv, axis=-1)
+    return jnp.take_along_axis(R, ipiv[..., None, :], axis=-1)
+
+
+def rdiv_dirty(A, R, piv):
+    """A · T^{-1} where T = scatter_columns(R, piv)
+    (reference: rdivp!, src/linalg/general.jl:138-166).
+    = A[..., :, piv] @ R^{-1} via batched triangular solve."""
+    Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1)
+    return lax.linalg.triangular_solve(R, Ap, left_side=False, lower=False)
+
+
+def calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr):
+    """G = [I + Ul·diag(Dl)·Tl · Tr†·diag(Dr)·Ur†]^{-1}.
+
+    Functional transcription of the 6-step UDT algebra of the reference
+    (calculate_greens_AVX!, src/flavors/DQMC/stack.jl:337-393): two interior
+    UDT decompositions absorb the huge dynamic range of Dl/Dr so the final
+    inverse is formed from well-conditioned triangular factors only. Batches
+    over any leading axes.
+    """
+    # B1: udt(Dl · (Tl Tr†) · Dr)
+    M = Tl @ _adj(Tr)
+    M = M * Dr[..., None, :]
+    M = M * Dl[..., :, None]
+    u1, d1, r1, p1 = udt_dirty(M)
+    # B2: inv(I + Ul u1 d1 t1 Ur†) = Ur t1^{-1} [ (Ul u1)† Ur t1^{-1} + d1 ]^{-1} (Ul u1)†
+    tl = Ul @ u1
+    ur = rdiv_dirty(Ur, r1, p1)
+    tr = _adj(tl) @ ur
+    # B3: add diag(d1)
+    n = tr.shape[-1]
+    tr = tr + d1[..., :, None] * jnp.eye(n, dtype=tr.dtype)
+    # B4: udt(tr); ur ← ur t2^{-1}; tl2 ← tl u2
+    u2, d2, r2, p2 = udt_dirty(tr)
+    ur2 = rdiv_dirty(ur, r2, p2)
+    tl2 = tl @ u2
+    # B5+B6: G = (ur2 · diag(1/d2)) · tl2†
+    G = (ur2 / d2[..., None, :]) @ _adj(tl2)
+    return G
+
+
+def calculate_greens_and_logdet(Ul, Dl, Tl, Ur, Dr, Tr):
+    """Like calculate_greens but also returns log|det G| (for global updates /
+    replay weights)."""
+    M = Tl @ _adj(Tr)
+    M = M * Dr[..., None, :]
+    M = M * Dl[..., :, None]
+    u1, d1, r1, p1 = udt_dirty(M)
+    tl = Ul @ u1
+    ur = rdiv_dirty(Ur, r1, p1)
+    tr = _adj(tl) @ ur
+    n = tr.shape[-1]
+    tr = tr + d1[..., :, None] * jnp.eye(n, dtype=tr.dtype)
+    u2, d2, r2, p2 = udt_dirty(tr)
+    ur2 = rdiv_dirty(ur, r2, p2)
+    tl2 = tl @ u2
+    G = (ur2 / d2[..., None, :]) @ _adj(tl2)
+    # |det G| = 1/|det(I + UlDlTl Tr†DrUr†)|; the triangular/unitary factors
+    # give logdet = -sum log d2 + (logdets of unitary factors are 0) ... but
+    # ur/ur2 are not unitary; use the numerically safe route via d2 and the
+    # triangular solves' diagonals is already folded in; we report the
+    # dominant -sum(log d2) term plus slogdet of the well-conditioned rest.
+    sign_rest, log_rest = jnp.linalg.slogdet(ur2)
+    logdetG = log_rest - jnp.sum(jnp.log(d2), axis=-1)
+    return G, logdetG
+
+
+def udt_mul_udt(Ua, Da, Ta, Ub, Db, Tb):
+    """UDT of the product (Ua Da Ta)(Ub Db Tb), re-stabilized:
+    collapse the middle, keeping the big scales in the D factors
+    (reference pattern: add_slice_sequence_*, src/flavors/DQMC/stack.jl:272-311).
+    """
+    mid = (Ta @ Ub) * Db[..., None, :]
+    mid = mid * Da[..., :, None]
+    u, d, r, p = udt_dirty(mid)
+    U = Ua @ u
+    T = scatter_columns(r, p) @ Tb
+    return U, d, T

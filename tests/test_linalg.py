@@ -1,0 +1,114 @@
+"""UDT / stabilized Green's algebra tests (modeled on reference
+test/linalg/old_linalg.jl and the stabilization design of src/linalg/UDT.jl).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlo_tpu.ops.linalg import (
+    udt, udt_dirty, rdiv_dirty, scatter_columns, calculate_greens, udt_mul_udt,
+)
+
+
+def rand(n, seed=0, batch=()):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=batch + (n, n)))
+
+
+def test_udt_reconstruction():
+    A = rand(16, 0)
+    U, D, T = udt(A)
+    assert np.allclose(np.asarray(U @ jnp.diag(D) @ T), np.asarray(A), atol=1e-12)
+    # U unitary, D positive
+    assert np.allclose(np.asarray(U.T @ U), np.eye(16), atol=1e-12)
+    assert (np.asarray(D) > 0).all()
+
+
+def test_udt_batched():
+    A = rand(8, 1, batch=(5,))
+    U, D, T = udt(A)
+    rec = jnp.einsum("bij,bj,bjk->bik", U, D, T)
+    assert np.allclose(np.asarray(rec), np.asarray(A), atol=1e-12)
+
+
+def test_udt_extreme_scales():
+    """Column scales spanning 1e-30..1e30 must be captured in D."""
+    rng = np.random.default_rng(2)
+    Q, _ = np.linalg.qr(rng.normal(size=(16, 16)))
+    scales = np.logspace(-30, 30, 16)
+    A = jnp.asarray(Q * scales[None, :])
+    U, D, T = udt(A)
+    rec = np.asarray(U @ jnp.diag(D) @ T)
+    assert np.allclose(rec / scales[None, :], Q, atol=1e-12)
+
+
+def test_rdiv_dirty():
+    A = rand(12, 3)
+    B = rand(12, 4)
+    U, D, R, piv = udt_dirty(B)
+    T = scatter_columns(R, piv)
+    X = rdiv_dirty(A, R, piv)
+    assert np.allclose(np.asarray(X @ T), np.asarray(A), atol=1e-10)
+
+
+def test_calculate_greens_well_conditioned():
+    n = 16
+    A = rand(n, 5)
+    B = rand(n, 6)
+    Ul, Dl, Tl = udt(A)
+    Ur, Dr, Tr = udt(B)
+    direct = jnp.linalg.inv(jnp.eye(n) + A @ B.conj().T)
+    G = calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr)
+    assert np.allclose(np.asarray(G), np.asarray(direct), atol=1e-10)
+
+
+def _free_fermion_oracle(L, beta, slices, mu=0.5):
+    """Exact G = inv(I + B^M) for B = exp(-dtau*K) via eigendecomposition of
+    the symmetric hopping matrix — valid to machine precision even when B^M
+    overflows elementwise understanding."""
+    N = L * L
+    K = np.zeros((N, N))
+    idx = lambda x, y: (x % L) * L + (y % L)
+    for x in range(L):
+        for y in range(L):
+            for dx, dy in ((1, 0), (0, 1)):
+                K[idx(x, y), idx(x + dx, y + dy)] -= 1.0
+                K[idx(x + dx, y + dy), idx(x, y)] -= 1.0
+    np.fill_diagonal(K, -mu)
+    dtau = beta / slices
+    w, V = np.linalg.eigh(K)
+    B = V @ np.diag(np.exp(-dtau * w)) @ V.T
+    G_exact = V @ np.diag(1.0 / (1.0 + np.exp(-beta * w))) @ V.T
+    return B, G_exact
+
+
+@pytest.mark.parametrize("beta", [10.0, 40.0])
+def test_stabilized_chain_vs_free_fermions(beta):
+    """UDT-accumulated product of M identical slice matrices must reproduce
+    the exact free-fermion Green's function (the naive product overflows /
+    loses all precision at beta=40). This is the core stability gate
+    (cf. reference test/flavortests_DQMC.jl:44-69)."""
+    L, slices = 4, int(beta * 10)
+    B, G_exact = _free_fermion_oracle(L, beta, slices)
+    Bj = jnp.asarray(B)
+    n = B.shape[0]
+    U, D, T = udt(jnp.eye(n))
+    safe_mult = 10
+    for start in range(0, slices, safe_mult):
+        prod = jnp.eye(n)
+        for _ in range(min(safe_mult, slices - start)):
+            prod = Bj @ prod
+        U, D, T = udt_mul_udt(*udt(prod), U, D, T)
+    # G = inv(I + UDT) = calculate_greens with right factor = identity
+    Ur, Dr, Tr = udt(jnp.eye(n))
+    G = calculate_greens(U, D, T, Ur, Dr, Tr)
+    assert np.max(np.abs(np.asarray(G) - G_exact)) < 1e-9
+
+
+def test_udt_mul_udt():
+    A = rand(10, 7)
+    B = rand(10, 8)
+    U, D, T = udt_mul_udt(*udt(A), *udt(B))
+    assert np.allclose(np.asarray(U @ jnp.diag(D) @ T), np.asarray(A @ B), atol=1e-10)
