@@ -1,0 +1,422 @@
+"""DQMC propagation core: UDT-stabilized sweeps as pure per-chain functions.
+
+This is the TPU-native redesign of the reference's mutable stack state machine
+(src/flavors/DQMC/stack.jl:502-631 `propagate`, DQMC.jl:523-582
+`update`/`sweep_spatial`): instead of 2*M incremental `update` calls driven by
+a host loop, one pure function `sweep_pair` performs a full [down sweep; up
+sweep] pass — slice loops are `lax.scan`, segment loops are statically
+unrolled, and the u/d/t stacks are plain arrays in the state pytree. Everything
+is written per-chain and batched with `vmap` over hundreds of chains.
+
+Index conventions (0-based throughout):
+  B_l = e^{-dtau*T} e^{-dtau*V(sigma_l)}        (effective slice matrix,
+        reference slice_matrix, src/flavors/DQMC/slice_matrices.jl:10-39)
+  G_eff(l) = [I + B_{l-1}...B_0 · B_{M-1}...B_l]^{-1}
+        — the Green's function used to update slice l (reference greens
+        convention at DQMC.jl:546-582 with current_slice = l+1)
+  stack S[j], j = 0..n_seg:
+    after an up sweep: S[j] = UDT(B_{j*sm-1}...B_0)   (left products)
+    after a down sweep: S[j] = UDT(B_{j*sm}^†...B_{M-1}^†) for j < n_seg
+        (right products; S[n_seg] holds the stale left product, overwritten
+        before it is ever read)
+
+The flavor-block axis F (attractive F=1, repulsive F=2) is the leading axis of
+all matrices; the hopping part is flavor-independent and broadcasts.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.linalg import udt_dirty, scatter_columns, calculate_greens
+
+
+@dataclass(frozen=True)
+class DQMCContext:
+    """Static (trace-time) data for the DQMC kernels."""
+
+    N: int            # sites
+    M: int            # time slices
+    sm: int           # safe_mult
+    F: int            # flavor blocks
+    lamb: float       # Hirsch lambda
+    det_power: int    # detratio = prod_f(r_f) ** det_power (2 for F=1, 1 for F=2)
+    use_boson: bool   # include exp(-dE_boson) in the Metropolis weight
+    dtype: object
+    signs: tuple      # flavor signs for the HS coupling
+    check_propagation_error: bool = True
+
+    @property
+    def n_seg(self):
+        return self.M // self.sm
+
+    @property
+    def n_el(self):
+        return self.n_seg + 1
+
+
+def make_context(model, params, dtype=jnp.float64,
+                 check_propagation_error: bool = None) -> Tuple[DQMCContext, dict]:
+    """Build the static context + hopping matrix exponentials for a model.
+
+    Returns (ctx, consts) where consts holds device arrays:
+      eT2, eT2inv: exp(∓ dtau T)       (squared half-exponentials, reference
+                   stack.jl:167-181)
+      eThalf, eThalfinv: exp(∓ dtau/2 T)  (for effective→physical greens
+                   unwrapping, reference DQMC.jl:711-750)
+    """
+    T = model.hopping_matrix()
+    dtau = params.delta_tau
+    w, V = np.linalg.eigh(T)
+    expm = lambda c: (V * np.exp(c * w)[None, :]) @ V.T
+    consts = {
+        "eT2": jnp.asarray(expm(-dtau), dtype),
+        "eT2inv": jnp.asarray(expm(dtau), dtype),
+        "eThalf": jnp.asarray(expm(-0.5 * dtau), dtype),
+        "eThalfinv": jnp.asarray(expm(0.5 * dtau), dtype),
+        "hopping": jnp.asarray(T, dtype),
+    }
+    cpe = (params.check_propagation_error
+           if check_propagation_error is None else check_propagation_error)
+    ctx = DQMCContext(
+        N=len(model.lattice), M=params.slices, sm=params.safe_mult,
+        F=model.nflavors, lamb=model.lamb(dtau),
+        det_power=2 // model.nflavors, use_boson=model.use_boson_weight,
+        dtype=jnp.dtype(dtype), signs=tuple(model.flavor_signs),
+        check_propagation_error=bool(cpe),
+    )
+    return ctx, consts
+
+
+# ---------------------------------------------------------------------------
+# slice matrix multiplications  (reference: src/flavors/DQMC/slice_matrices.jl)
+# ---------------------------------------------------------------------------
+
+def _signs(ctx):
+    return jnp.asarray(ctx.signs, ctx.dtype)
+
+
+def eV_diag(ctx, sigma_l, power=1.0):
+    """diag of exp(-power*dtau*V(l)) as (F, N). sigma_l: (N,) int8."""
+    s = sigma_l.astype(ctx.dtype)
+    return jnp.exp(power * ctx.lamb * _signs(ctx)[:, None] * s[None, :])
+
+
+def mult_B_left(ctx, consts, sigma_l, M):
+    """M ← B_l M = eT2 · diag(eV) · M   (M: (F, N, N))."""
+    eV = eV_diag(ctx, sigma_l)
+    return consts["eT2"] @ (eV[:, :, None] * M)
+
+
+def mult_B_right(ctx, consts, sigma_l, M):
+    """M ← M B_l = (M eT2) · diag(eV)."""
+    eV = eV_diag(ctx, sigma_l)
+    return (M @ consts["eT2"]) * eV[:, None, :]
+
+
+def mult_B_inv_left(ctx, consts, sigma_l, M):
+    """M ← B_l^{-1} M = diag(eV)^{-1} · eT2inv · M."""
+    eVinv = eV_diag(ctx, sigma_l, -1.0)
+    return eVinv[:, :, None] * (consts["eT2inv"] @ M)
+
+
+def mult_B_inv_right(ctx, consts, sigma_l, M):
+    """M ← M B_l^{-1} = (M · diag(eV)^{-1}) · eT2inv."""
+    eVinv = eV_diag(ctx, sigma_l, -1.0)
+    return (M * eVinv[:, None, :]) @ consts["eT2inv"]
+
+
+def mult_B_dagger_left(ctx, consts, sigma_l, M):
+    """M ← B_l^† M = diag(eV) · eT2^T · M (all factors real)."""
+    eV = eV_diag(ctx, sigma_l)
+    return eV[:, :, None] * (consts["eT2"].T @ M)
+
+
+def wrap_up(ctx, consts, sigma_l, G):
+    """G_eff(l) → G_eff(l+1) = B_l G B_l^{-1}
+    (reference: wrap_greens! direction +1, stack.jl:491-500)."""
+    return mult_B_inv_right(ctx, consts, sigma_l,
+                            mult_B_left(ctx, consts, sigma_l, G))
+
+
+def wrap_down(ctx, consts, sigma_l, G):
+    """G_eff(l+1) → G_eff(l) = B_l^{-1} G B_l
+    (reference: wrap_greens! direction -1)."""
+    return mult_B_right(ctx, consts, sigma_l,
+                        mult_B_inv_left(ctx, consts, sigma_l, G))
+
+
+# ---------------------------------------------------------------------------
+# UDT segment accumulation  (reference: add_slice_sequence_*, stack.jl:272-311)
+# ---------------------------------------------------------------------------
+
+def _identity_udt(ctx):
+    I = jnp.broadcast_to(jnp.eye(ctx.N, dtype=ctx.dtype), (ctx.F, ctx.N, ctx.N))
+    D = jnp.ones((ctx.F, ctx.N), ctx.dtype)
+    return I, D, I
+
+
+def extend_left(ctx, consts, conf, j, U, D, T):
+    """(U,D,T) = UDT(B_{j*sm-1}...B_0) → UDT(B_{(j+1)*sm-1}...B_0), applying
+    the slices of segment j left-to-right (reference: add_slice_sequence_left,
+    stack.jl:272-288). conf: (N, M)."""
+    curr = U
+    for s in range(ctx.sm):
+        l = j * ctx.sm + s
+        curr = mult_B_left(ctx, consts, conf[:, l], curr)
+    u, d, r, piv = udt_dirty(curr * D[:, None, :])
+    Tnew = scatter_columns(r, piv) @ T
+    return u, d, Tnew
+
+
+def extend_right(ctx, consts, conf, j, U, D, T):
+    """(U,D,T) = UDT(B_{(j+1)*sm}^†...B_{M-1}^†) → UDT(B_{j*sm}^†...B_{M-1}^†)
+    (reference: add_slice_sequence_right, stack.jl:291-311)."""
+    curr = U
+    for s in reversed(range(ctx.sm)):
+        l = j * ctx.sm + s
+        curr = mult_B_dagger_left(ctx, consts, conf[:, l], curr)
+    u, d, r, piv = udt_dirty(curr * D[:, None, :])
+    Tnew = scatter_columns(r, piv) @ T
+    return u, d, Tnew
+
+
+# ---------------------------------------------------------------------------
+# local updates  (reference: sweep_spatial, DQMC.jl:546-582 + model
+# propose_local/accept_local!, HubbardModelAttractive.jl:113-155,
+# HubbardModelRepulsive.jl:128-232)
+# ---------------------------------------------------------------------------
+
+def sweep_slice(ctx, G, sigma, u):
+    """Sequential Metropolis over all sites of one time slice with rank-1
+    Green's updates per flavor block. G: (F,N,N), sigma: (N,), u: (N,) uniforms.
+    Returns (G, sigma, n_accepted, n_negative_detratio)."""
+    signs = _signs(ctx)
+
+    def body(i, carry):
+        G, sigma, acc, nneg = carry
+        s = sigma[i].astype(ctx.dtype)
+        dEb = -2.0 * ctx.lamb * s
+        delta = jnp.expm1(signs * dEb)                   # (F,)
+        gii = jnp.diagonal(G, axis1=-2, axis2=-1)
+        gii = lax.dynamic_slice_in_dim(gii, i, 1, axis=1)[:, 0]  # (F,)
+        r = 1.0 + delta * (1.0 - gii)
+        detratio = jnp.prod(r) ** ctx.det_power
+        w = jnp.exp(-dEb) if ctx.use_boson else 1.0
+        p = w * detratio
+        accept = u[i] < p
+        nneg = nneg + jnp.asarray(detratio < 0, jnp.int32)
+        x = delta / r                                    # (F,)
+        col = lax.dynamic_slice_in_dim(G, i, 1, axis=2)  # (F, N, 1)
+        row = lax.dynamic_slice_in_dim(G, i, 1, axis=1)  # (F, 1, N)
+        IG = -col
+        IG = IG.at[:, i, 0].add(1.0)
+        coef = jnp.where(accept, x, 0.0)
+        G = G - coef[:, None, None] * (IG * row)
+        sigma = sigma.at[i].multiply(jnp.where(accept, -1, 1).astype(sigma.dtype))
+        acc = acc + jnp.asarray(accept, jnp.int32)
+        return (G, sigma, acc, nneg)
+
+    acc0 = jnp.zeros((), jnp.int32)
+    G, sigma, acc, nneg = lax.fori_loop(0, ctx.N, body, (G, sigma, acc0, acc0))
+    return G, sigma, acc, nneg
+
+
+# ---------------------------------------------------------------------------
+# full sweep pair  (reference: run! inner loop, DQMC.jl:420-436 — M down
+# updates then M up updates)
+# ---------------------------------------------------------------------------
+
+def init_state(ctx, consts, conf, key):
+    """Build the initial stack from a configuration
+    (reference: build_stack, stack.jl:242-255). Per-chain state pytree."""
+    n_el = ctx.n_el
+    S_U = jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype)
+    S_D = jnp.zeros((n_el, ctx.F, ctx.N), ctx.dtype)
+    S_T = jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype)
+    U, D, T = _identity_udt(ctx)
+    for j in range(ctx.n_seg):
+        S_U = S_U.at[j].set(U)
+        S_D = S_D.at[j].set(D)
+        S_T = S_T.at[j].set(T)
+        U, D, T = extend_left(ctx, consts, conf, j, U, D, T)
+    S_U = S_U.at[ctx.n_seg].set(U)
+    S_D = S_D.at[ctx.n_seg].set(D)
+    S_T = S_T.at[ctx.n_seg].set(T)
+    return {
+        "conf": conf,
+        "S_U": S_U, "S_D": S_D, "S_T": S_T,
+        "G": jnp.zeros((ctx.F, ctx.N, ctx.N), ctx.dtype),
+        "key": key,
+        "acc": jnp.zeros((), jnp.int64),
+        "prop": jnp.zeros((), jnp.int64),
+        "neg_prob": jnp.zeros((), jnp.int64),
+        "prop_err_max": jnp.zeros((), jnp.float64),
+        "prop_err_count": jnp.zeros((), jnp.int64),
+    }
+
+
+def _scan_slices(ctx, consts, G, conf, key, counters, slice_list, direction):
+    """lax.scan over the slices of one segment.
+    direction +1: [sweep slice l, wrap up with updated sigma_l]
+    direction -1: [wrap down with pre-update sigma_l, sweep slice l]."""
+    acc, nneg = counters
+
+    def body(carry, l):
+        G, conf, key, acc, nneg = carry
+        key, sub = jax.random.split(key)
+        u = jax.random.uniform(sub, (ctx.N,), ctx.dtype)
+        sigma = conf[:, l]
+        if direction < 0:
+            G = wrap_down(ctx, consts, sigma, G)
+        G, sigma, a, ng = sweep_slice(ctx, G, sigma, u)
+        conf = conf.at[:, l].set(sigma)
+        if direction > 0:
+            G = wrap_up(ctx, consts, sigma, G)
+        return (G, conf, key, acc + a.astype(jnp.int64),
+                nneg + ng.astype(jnp.int64)), None
+
+    (G, conf, key, acc, nneg), _ = lax.scan(
+        body, (G, conf, key, acc, nneg), slice_list)
+    return G, conf, key, (acc, nneg)
+
+
+def _record_prop_error(state, G_wrapped, G_recomputed):
+    diff = jnp.max(jnp.abs(G_wrapped - G_recomputed))
+    state = dict(state)
+    state["prop_err_max"] = jnp.maximum(state["prop_err_max"], diff)
+    state["prop_err_count"] = state["prop_err_count"] + (diff > 1e-7)
+    return state
+
+
+def sweep_pair(ctx, consts, state):
+    """One full [down sweep; up sweep] pass over imaginary time, updating every
+    site of every slice twice. Returns (state, G_meas) where G_meas is the
+    effective G at the reference's measurement point (current_slice==1,
+    direction==+1, after the slice-0 site updates — DQMC.jl:425-436)."""
+    conf = state["conf"]
+    key = state["key"]
+    S_U, S_D, S_T = state["S_U"], state["S_D"], state["S_T"]
+    G = state["G"]
+    acc = state["acc"]
+    nneg = state["neg_prob"]
+    n_seg, sm = ctx.n_seg, ctx.sm
+
+    # ------------------------------------------------------------ down sweep
+    # entry: S[j] = left products UDT(B_{j*sm-1}...B_0).
+    # At the boundary into segment j we (a) read the left product from slot
+    # j+1, (b) extend the right-product carry with the just-swept segment j+1
+    # and store it into the SAME slot j+1 — mirroring the reference's
+    # copyto!(Ul, stack[idx]) before add_slice_sequence_right(idx) overwrites
+    # it (stack.jl:585-614; the turnaround's stack[end] ← I reset at :570-579
+    # is the j = n_seg-1 case with an identity carry).
+    rU, rD, rT = _identity_udt(ctx)
+    for j in reversed(range(n_seg)):
+        lU, lD, lT = S_U[j + 1], S_D[j + 1], S_T[j + 1]
+        if j < n_seg - 1:
+            rU, rD, rT = extend_right(ctx, consts, conf, j + 1, rU, rD, rT)
+        S_U = S_U.at[j + 1].set(rU)
+        S_D = S_D.at[j + 1].set(rD)
+        S_T = S_T.at[j + 1].set(rT)
+        G_re = calculate_greens(lU, lD, lT, rU, rD, rT)   # G_eff((j+1)*sm)
+        if j < n_seg - 1 and ctx.check_propagation_error:
+            state = _record_prop_error(state, G, G_re)
+        G = G_re
+        slices = jnp.arange(sm - 1, -1, -1) + j * sm       # descending
+        G, conf, key, (acc, nneg) = _scan_slices(
+            ctx, consts, G, conf, key, (acc, nneg), slices, direction=-1)
+    rU, rD, rT = extend_right(ctx, consts, conf, 0, rU, rD, rT)
+    S_U = S_U.at[0].set(rU)
+    S_D = S_D.at[0].set(rD)
+    S_T = S_T.at[0].set(rT)
+    # exit: S[j] = UDT(B_{j*sm}^†...B_{M-1}^†) for j<n_seg (S[n_seg] = I)
+
+    # -------------------------------------------------------------- up sweep
+    lU, lD, lT = _identity_udt(ctx)
+    G_meas = G
+    for j in range(n_seg):
+        rU, rD, rT = S_U[j], S_D[j], S_T[j]
+        G_re = calculate_greens(lU, lD, lT, rU, rD, rT)   # G_eff(j*sm)
+        if j > 0 and ctx.check_propagation_error:
+            state = _record_prop_error(state, G, G_re)
+        G = G_re
+        S_U = S_U.at[j].set(lU)
+        S_D = S_D.at[j].set(lD)
+        S_T = S_T.at[j].set(lT)
+        if j == 0:
+            # measurement point: sweep slice 0, snapshot G, then wrap
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (ctx.N,), ctx.dtype)
+            sigma = conf[:, 0]
+            G, sigma, a, ng = sweep_slice(ctx, G, sigma, u)
+            conf = conf.at[:, 0].set(sigma)
+            acc = acc + a.astype(jnp.int64)
+            nneg = nneg + ng.astype(jnp.int64)
+            G_meas = G
+            G = wrap_up(ctx, consts, sigma, G)
+            slices = jnp.arange(1, sm)
+        else:
+            slices = jnp.arange(j * sm, (j + 1) * sm)
+        if slices.shape[0] > 0:
+            G, conf, key, (acc, nneg) = _scan_slices(
+                ctx, consts, G, conf, key, (acc, nneg), slices, direction=+1)
+        lU, lD, lT = extend_left(ctx, consts, conf, j, lU, lD, lT)
+    S_U = S_U.at[n_seg].set(lU)
+    S_D = S_D.at[n_seg].set(lD)
+    S_T = S_T.at[n_seg].set(lT)
+    # exit: S[j] = left products again
+
+    state = dict(state)
+    state.update(conf=conf, key=key, S_U=S_U, S_D=S_D, S_T=S_T, G=G,
+                 acc=acc, neg_prob=nneg,
+                 prop=state["prop"] + 2 * ctx.M * ctx.N)
+    return state, G_meas
+
+
+# ---------------------------------------------------------------------------
+# greens access  (reference: greens/_greens!, DQMC.jl:700-781 and
+# calculate_greens(mc, slice), stack.jl:422-480)
+# ---------------------------------------------------------------------------
+
+def unwrap_greens(ctx, consts, G_eff):
+    """Effective → physical equal-time Green's function:
+    G = e^{+dtau T/2} G_eff e^{-dtau T/2} (reference: _greens!, DQMC.jl:723-731)."""
+    return consts["eThalfinv"] @ G_eff @ consts["eThalf"]
+
+
+def greens_from_scratch(ctx, consts, conf, slice_idx: int):
+    """G_eff(slice_idx) recomputed from the configuration alone
+    (reference: calculate_greens(mc, slice), stack.jl:422-480). slice_idx is a
+    static python int in [0, M]."""
+    U, D, T = _identity_udt(ctx)
+    lU, lD, lT = U, D, T
+    curr = U
+    count = 0
+    for l in range(slice_idx):
+        curr = mult_B_left(ctx, consts, conf[:, l], curr)
+        count += 1
+        if count % ctx.sm == 0 or l == slice_idx - 1:
+            u, d, r, piv = udt_dirty(curr * lD[:, None, :])
+            lT = scatter_columns(r, piv) @ lT
+            lU, lD = u, d
+            curr = lU
+    rU, rD, rT = _identity_udt(ctx)
+    curr = rU
+    count = 0
+    for l in reversed(range(slice_idx, ctx.M)):
+        curr = mult_B_dagger_left(ctx, consts, conf[:, l], curr)
+        count += 1
+        if count % ctx.sm == 0 or l == slice_idx:
+            u, d, r, piv = udt_dirty(curr * rD[:, None, :])
+            rT = scatter_columns(r, piv) @ rT
+            rU, rD = u, d
+            curr = rU
+    return calculate_greens(lU, lD, lT, rU, rD, rT)

@@ -1,0 +1,340 @@
+"""DQMC simulation driver (reference: src/flavors/DQMC/DQMC.jl).
+
+Host-side orchestration of the pure device kernels in core.py: the run loop
+dispatches jitted blocks that scan whole [down;up] sweep pairs (vmapped over
+chains) and push measurements on-device; the host handles staging, printing,
+recording, sign-problem / propagation-error reporting and time-boxed
+checkpointing (reference run! structure, DQMC.jl:369-515).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .parameters import DQMCParameters
+from . import core
+from ..measurements.core import MeasurementRegistry
+from ..io.recorder import ConfigRecorder, Discarder
+from ..utils.timing import timer
+
+
+@dataclass
+class MagnitudeStats:
+    """Min/max/count tracker (reference: MagnitudeStats, DQMC.jl:4-31)."""
+
+    max: float = 0.0
+    count: int = 0
+
+
+@dataclass
+class DQMCAnalysis:
+    """(reference: DQMCAnalysis, DQMC.jl:36-47)."""
+
+    acc_rate: float = 0.0
+    prop_local: int = 0
+    acc_local: int = 0
+    sweep_duration: float = 0.0
+    negative_probability: MagnitudeStats = dataclasses.field(default_factory=MagnitudeStats)
+    propagation_error: MagnitudeStats = dataclasses.field(default_factory=MagnitudeStats)
+
+
+class DQMC:
+    """Determinant quantum Monte Carlo over a batch of independent chains."""
+
+    def __init__(self, model, n_chains: int = 16, seed: int = 0,
+                 dtype=jnp.float64,
+                 measurements: str | Dict = "default",
+                 thermalization_measurements: Optional[Dict] = None,
+                 recorder=None, recording_rate: int = None,
+                 last_sweep: int = 0, **params):
+        if jnp.dtype(dtype) == jnp.float64 and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        self.model = model
+        self.parameters = DQMCParameters(**params)
+        self.p = self.parameters
+        self.analysis = DQMCAnalysis()
+        self.a = self.analysis
+        self.n_chains = int(n_chains)
+        self.last_sweep = int(last_sweep)
+        self.ctx, self.consts = core.make_context(model, self.parameters, dtype)
+
+        root = jax.random.PRNGKey(seed)
+        init_key, sweep_key = jax.random.split(root)
+        conf = model.rand_conf(init_key, self.n_chains, self.parameters.slices)
+        chain_keys = jax.random.split(sweep_key, self.n_chains)
+        self.state = jax.jit(jax.vmap(partial(core.init_state, self.ctx,
+                                              self.consts)))(conf, chain_keys)
+
+        self.configs = recorder if recorder is not None else Discarder()
+        if recording_rate is not None:
+            self.configs.rate = recording_rate
+
+        self.measurements = MeasurementRegistry()
+        self.thermalization_measurements = MeasurementRegistry()
+        if measurements == "default":
+            for k, m in self.default_measurements().items():
+                self.measurements.add(k, m, self.n_chains)
+        elif isinstance(measurements, dict):
+            for k, m in measurements.items():
+                self.measurements.add(k, m, self.n_chains)
+        for k, m in (thermalization_measurements or {}).items():
+            self.thermalization_measurements.add(k, m, self.n_chains)
+
+        self._block_fns = {}
+
+    # ------------------------------------------------------------- defaults
+    def default_measurements(self):
+        from ..measurements import dqmc_measurements as dm
+        return {
+            "occ": dm.occupation(self, self.model),
+            "greens": dm.greens_measurement(self, self.model),
+        }
+
+    @property
+    def conf(self):
+        return self.state["conf"]
+
+    def __getitem__(self, key):
+        return self.measurements[key]
+
+    def __repr__(self):
+        p = self.parameters
+        return (f"DQMC simulation of {self.model!r} (beta={p.beta}, "
+                f"dtau={p.delta_tau}, M={p.slices}, {self.n_chains} chains)")
+
+    # ----------------------------------------------------------- device block
+    def _build_block(self, measure: bool, stage: str):
+        ctx, consts = self.ctx, self.consts
+        p = self.parameters
+        registry = (self.measurements if stage == "ME"
+                    else self.thermalization_measurements)
+        meas_items = list(registry.measurements.items()) if measure else []
+        vsweep = jax.vmap(partial(core.sweep_pair, ctx, consts))
+        vunwrap = jax.vmap(partial(core.unwrap_greens, ctx, consts))
+
+        def one_sweep(carry, sweep_idx):
+            states, bstates = carry
+            states, G_meas = vsweep(states)
+            if meas_items:
+                def do_measure(bstates):
+                    G_phys = vunwrap(G_meas)
+                    new = {}
+                    for mkey, meas in meas_items:
+                        vals = meas.measure_fn(greens=G_phys,
+                                               conf=states["conf"])
+                        new[mkey] = meas.push(bstates[mkey], vals)
+                    return new
+
+                bstates = lax.cond(sweep_idx % p.measure_rate == 0,
+                                   do_measure, lambda b: b, bstates)
+            return (states, bstates), None
+
+        @partial(jax.jit, static_argnames=("n",))
+        def block(states, bstates, n, start_sweep):
+            idxs = start_sweep + jnp.arange(n)
+            (states, bstates), _ = lax.scan(one_sweep, (states, bstates), idxs)
+            return states, bstates
+
+        return block
+
+    def _get_block(self, measure, stage):
+        key = (measure, stage)
+        if key not in self._block_fns:
+            self._block_fns[key] = self._build_block(measure, stage)
+        return self._block_fns[key]
+
+    # ------------------------------------------------------------------- run
+    def run(self, sweeps: int = None, thermalization: int = None,
+            verbose: bool = True, safe_before: float = None,
+            safe_every: float = None, grace_period: float = 60.0,
+            filename: str = None, chunk: int = 16) -> bool:
+        """(reference: run!, DQMC.jl:369-515). One sweep = one full
+        [down; up] pass over imaginary time (2*slices*N site updates)."""
+        p = self.parameters
+        sweeps = sweeps if sweeps is not None else p.sweeps
+        thermalization = (thermalization if thermalization is not None
+                          else p.thermalization)
+        total = sweeps + thermalization
+        t_start = time.time()
+        last_save = t_start
+        max_chunk_dur = 0.0
+
+        record_active = not isinstance(self.configs, Discarder)
+        if record_active:
+            chunk = math.gcd(chunk, self.configs.rate) or chunk
+
+        i = self.last_sweep
+        while i < total:
+            in_th = i < thermalization
+            stage = "TH" if in_th else "ME"
+            registry = (self.thermalization_measurements if in_th
+                        else self.measurements)
+            limit = thermalization if in_th else total
+            n = min(chunk, limit - i)
+            measure = len(registry.measurements) > 0
+            block = self._get_block(measure, stage)
+
+            t0 = time.time()
+            with timer("dqmc_block"):
+                self.state, registry.states = block(
+                    self.state, registry.states, n, i + 1)
+            jax.block_until_ready(self.state["G"])
+            dur = time.time() - t0
+            max_chunk_dur = max(max_chunk_dur, dur)
+            self.analysis.sweep_duration = dur / n
+
+            i += n
+            self.last_sweep = i
+            if record_active and not in_th:
+                self.configs.push(i, np.asarray(self.state["conf"]))
+
+            if verbose and (i % p.print_rate < chunk):
+                self._sync_analysis()
+                print(f"[DQMC] sweep {i}/{total}  "
+                      f"acc={self.analysis.acc_rate:.3f}  "
+                      f"({dur / n * 1e3:.1f} ms/sweep)  "
+                      f"prop_err_max={self.analysis.propagation_error.max:.2e}")
+
+            now = time.time()
+            if safe_before is not None and now + 2 * max_chunk_dur + grace_period > safe_before:
+                self._sync_analysis()
+                self._timed_save(filename, verbose)
+                return False
+            if safe_every is not None and now - last_save > safe_every:
+                self._sync_analysis()
+                self._timed_save(filename, verbose)
+                last_save = now
+
+        self._sync_analysis()
+        if verbose and not p.silent:
+            self._report_errors()
+        return True
+
+    def _sync_analysis(self):
+        st = self.state
+        self.analysis.prop_local = int(np.sum(np.asarray(st["prop"])))
+        self.analysis.acc_local = int(np.sum(np.asarray(st["acc"])))
+        self.analysis.acc_rate = (self.analysis.acc_local /
+                                  max(1, self.analysis.prop_local))
+        self.analysis.negative_probability.count = int(
+            np.sum(np.asarray(st["neg_prob"])))
+        self.analysis.propagation_error.max = float(
+            np.max(np.asarray(st["prop_err_max"])))
+        self.analysis.propagation_error.count = int(
+            np.sum(np.asarray(st["prop_err_count"])))
+
+    def _report_errors(self):
+        """End-of-run numerical sanitizer report (reference: DQMC.jl:483-505)."""
+        a = self.analysis
+        if a.negative_probability.count > 0:
+            print(f"[DQMC] {a.negative_probability.count} negative "
+                  f"probabilities (sign problem?)")
+        if a.propagation_error.count > 0:
+            print(f"[DQMC] {a.propagation_error.count} propagation "
+                  f"instabilities > 1e-7 (max {a.propagation_error.max:.2e})")
+
+    def _timed_save(self, filename, verbose):
+        from ..io.checkpoint import save
+        filename = filename or f"dqmc_checkpoint_{int(time.time())}.mctpu"
+        save(filename, self, overwrite=True)
+        if verbose:
+            print(f"[DQMC] saved resumable checkpoint to {filename}")
+
+    # ---------------------------------------------------------------- greens
+    def greens(self, slice_idx: int = 0):
+        """Physical equal-time Green's function (C, F, N, N), recomputed from
+        the current configurations (reference: greens(mc), DQMC.jl:700-731)."""
+        fn = jax.jit(jax.vmap(lambda c: core.unwrap_greens(
+            self.ctx, self.consts,
+            core.greens_from_scratch(self.ctx, self.consts, c, slice_idx))))
+        return fn(self.state["conf"])
+
+    # ---------------------------------------------------------------- replay
+    def replay(self, configurations=None, verbose: bool = False) -> bool:
+        """Re-measure observables from recorded configurations
+        (reference: replay!, DQMC.jl:605-697)."""
+        configurations = (configurations if configurations is not None
+                          else self.configs)
+        for k, meas in self.measurements.measurements.items():
+            self.measurements.states[k] = meas.bind(self.n_chains)
+
+        @jax.jit
+        def measure_all(bstates, conf):
+            G_eff = jax.vmap(lambda c: core.greens_from_scratch(
+                self.ctx, self.consts, c, 0))(conf)
+            G_phys = jax.vmap(partial(core.unwrap_greens, self.ctx,
+                                      self.consts))(G_eff)
+            new = {}
+            for mkey, meas in self.measurements.measurements.items():
+                vals = meas.measure_fn(greens=G_phys, conf=conf)
+                new[mkey] = meas.push(bstates[mkey], vals)
+            return new
+
+        states = self.measurements.states
+        for conf in configurations:
+            states = measure_all(states, jnp.asarray(conf))
+        self.measurements.states = states
+        return True
+
+    # ------------------------------------------------------------ observables
+    def observables(self, stage: str = "ME"):
+        registry = (self.measurements if stage == "ME"
+                    else self.thermalization_measurements)
+        return registry.observables(context=self)
+
+    # ------------------------------------------------------------ persistence
+    def state_dict(self):
+        return {
+            "type": "DQMC",
+            "parameters": {k: v for k, v in self.parameters.as_dict().items()
+                           if k not in ("warn_round",)},
+            "n_chains": self.n_chains,
+            "last_sweep": self.last_sweep,
+            "conf": np.asarray(self.state["conf"]),
+            "key": np.asarray(self.state["key"]),
+            "configs": self.configs.state_dict(),
+            "measurement_states": jax.tree_util.tree_map(
+                np.asarray, self.measurements.states),
+            "th_measurement_states": jax.tree_util.tree_map(
+                np.asarray, self.thermalization_measurements.states),
+            "analysis": {
+                "acc_rate": self.analysis.acc_rate,
+                "prop_local": self.analysis.prop_local,
+                "acc_local": self.analysis.acc_local,
+            },
+            "model": {
+                "type": type(self.model).__name__,
+                "parameters": self.model.parameters(),
+                "lattice": self.model.lattice.state_dict(),
+            },
+        }
+
+    def load_state(self, state):
+        """Rebuild from a checkpoint: stacks and Green's functions are derived
+        state and are reconstructed from conf (reference invariant:
+        FileIO.jl:140-156 + DQMC.jl:412-414)."""
+        self.parameters = DQMCParameters(**state["parameters"])
+        self.p = self.parameters
+        self.last_sweep = int(state["last_sweep"])
+        conf = jnp.asarray(state["conf"])
+        keys = jnp.asarray(state["key"])
+        self.state = jax.jit(jax.vmap(partial(core.init_state, self.ctx,
+                                              self.consts)))(conf, keys)
+        rec_state = state["configs"]
+        self.configs = (ConfigRecorder.from_state(rec_state)
+                        if rec_state["type"] == "ConfigRecorder"
+                        else Discarder.from_state(rec_state))
+        for k, st in state["measurement_states"].items():
+            if k in self.measurements.states:
+                self.measurements.states[k] = jax.tree_util.tree_map(
+                    jnp.asarray, st)

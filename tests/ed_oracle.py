@@ -1,0 +1,197 @@
+"""Exact diagonalization oracle for small Hubbard clusters.
+
+Numpy port of the reference's ED test oracle (test/ED/ED.jl): full 4^N
+many-body Hamiltonian in the occupation-number basis with Jordan-Wigner sign
+tracking, thermal and imaginary-time-displaced expectation values.
+
+Hamiltonian (test/ED/ED.jl:68-115):
+    H = -t Σ_{<ij>σ, directed} c†_{jσ} c_{iσ}
+        + U Σ_i (n_i↑ - 1/2)(n_i↓ - 1/2)        (U < 0 attractive)
+        - μ Σ_i (n_i↑ + n_i↓)
+
+Orbital ordering: orbital(site i, spin s) = 2*i + s  (s = 0 up, 1 down).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+
+def _orbital(site, spin):
+    return 2 * site + spin
+
+
+def build_operators(n_sites):
+    """Dense annihilation operators C[o] in the 4^n_sites basis."""
+    n_orb = 2 * n_sites
+    dim = 1 << n_orb
+    Cs = []
+    states = np.arange(dim)
+    for o in range(n_orb):
+        occ = (states >> o) & 1
+        below = states & ((1 << o) - 1)
+        # parity of occupied orbitals below o
+        par = np.zeros(dim, dtype=np.int64)
+        b = below.copy()
+        while b.any():
+            par ^= b & 1
+            b >>= 1
+        sign = 1.0 - 2.0 * par
+        C = np.zeros((dim, dim))
+        rows = states[occ == 1] ^ (1 << o)
+        cols = states[occ == 1]
+        C[rows, cols] = sign[occ == 1]
+        Cs.append(C)
+    return Cs
+
+
+class EDSolution:
+    """Eigen-decomposed Hubbard cluster with expectation-value helpers."""
+
+    def __init__(self, lattice, t=1.0, U=1.0, mu=0.0, attractive=True):
+        """U is the magnitude; attractive=True flips its sign in H and keeps
+        mu; attractive=False (repulsive) forces mu=0 (as in ED_tests.jl:92-95).
+        """
+        self.lattice = lattice
+        N = len(lattice)
+        self.N = N
+        Ueff = -abs(U) if attractive else abs(U)
+        mueff = mu if attractive else 0.0
+        C = build_operators(N)
+        dim = C[0].shape[0]
+        H = np.zeros((dim, dim))
+        # directed neighbor hopping, duplicates included (2x2 doubles bonds,
+        # matching the DQMC hopping matrix construction)
+        for (src, trg) in lattice.neighbors(directed=True):
+            for s in (0, 1):
+                H -= t * (C[_orbital(trg, s)].T @ C[_orbital(src, s)])
+        for i in range(N):
+            nu = C[_orbital(i, 0)].T @ C[_orbital(i, 0)]
+            nd = C[_orbital(i, 1)].T @ C[_orbital(i, 1)]
+            H += Ueff * (nu - 0.5 * np.eye(dim)) @ (nd - 0.5 * np.eye(dim))
+            H -= mueff * (nu + nd)
+        self.E, self.V = np.linalg.eigh(H)
+        self.E -= self.E.min()
+        self.C = C
+
+    def _rho_weights(self, beta):
+        w = np.exp(-beta * self.E)
+        return w / w.sum()
+
+    def _to_eigen(self, A):
+        return self.V.T @ A @ self.V
+
+    def expect(self, A, beta):
+        """⟨A⟩ = tr(e^{-βH} A)/Z (test/ED/ED.jl:462-493)."""
+        w = self._rho_weights(beta)
+        Ae = self._to_eigen(A)
+        return float(np.sum(w * np.diag(Ae)))
+
+    def expect_td(self, A, B, tau1, tau2, beta):
+        """⟨A(τ1) B(τ2)⟩ for τ1 ≥ τ2 (test/ED/ED.jl:527-588):
+        Σ_{mn} w_m e^{Δ(E_m - E_n)} A_mn B_nm, Δ = τ1 - τ2."""
+        dt = tau1 - tau2
+        w = np.exp(-(beta - dt) * self.E)
+        Z = np.sum(np.exp(-beta * self.E))
+        Ae = self._to_eigen(A)
+        Be = self._to_eigen(B)
+        mid = np.exp(-dt * self.E)
+        return float(np.einsum("m,mn,n,nm->", w, Ae, mid, Be) / Z)
+
+    # -------------------------------------------------------------- operators
+    def c(self, site, spin):
+        return self.C[_orbital(site, spin)]
+
+    def cdag(self, site, spin):
+        return self.C[_orbital(site, spin)].T
+
+    def n_op(self, site, spin=None):
+        if spin is None:
+            return self.n_op(site, 0) + self.n_op(site, 1)
+        return self.cdag(site, spin) @ self.c(site, spin)
+
+    # ---------------------------------------------------- observable bundles
+    def greens(self, beta):
+        """G[i,j] = ⟨c_{i↑} c†_{j↑}⟩ (spin-symmetric)."""
+        N = self.N
+        G = np.zeros((N, N))
+        for i in range(N):
+            for j in range(N):
+                G[i, j] = self.expect(self.c(i, 0) @ self.cdag(j, 0), beta)
+        return G
+
+    def greens_spin(self, beta, s1, s2):
+        N = self.N
+        G = np.zeros((N, N))
+        for i in range(N):
+            for j in range(N):
+                G[i, j] = self.expect(self.c(i, s1) @ self.cdag(j, s2), beta)
+        return G
+
+    def occupation(self, beta, spin=0):
+        return np.array([self.expect(self.n_op(i, spin), beta)
+                         for i in range(self.N)])
+
+    def cdc_by_distance(self, beta):
+        """⟨n_i n_j⟩ summed per direction bin / N (matches the DQMC
+        charge_density_correlation output layout)."""
+        N = self.N
+        pd = self.lattice.pair_dir
+        out = np.zeros(self.lattice.n_dirs)
+        for i in range(N):
+            for j in range(N):
+                val = self.expect(self.n_op(i) @ self.n_op(j), beta)
+                out[pd[i, j]] += val
+        return out / N
+
+    def _spin_op(self, i, dir):
+        """S^a without 1/2 factors, as implied by the DQMC kernels:
+        x: c†↑c↓ + c†↓c↑ ; z: n↑ - n↓ ; y: (c†↑c↓ - c†↓c↑) [times -i dropped,
+        matching the reference's my_kernel note at measurements.jl:96-101]."""
+        if dir == "x":
+            return self.cdag(i, 0) @ self.c(i, 1) + self.cdag(i, 1) @ self.c(i, 0)
+        if dir == "z":
+            return self.n_op(i, 0) - self.n_op(i, 1)
+        if dir == "y":  # the DQMC sdc_y kernel computes ⟨(iS^y)_i (iS^y)_j⟩
+            return self.cdag(i, 0) @ self.c(i, 1) - self.cdag(i, 1) @ self.c(i, 0)
+        raise ValueError(dir)
+
+    def sdc_by_distance(self, beta, dir):
+        N = self.N
+        pd = self.lattice.pair_dir
+        out = np.zeros(self.lattice.n_dirs)
+        sign = -1.0 if dir == "y" else 1.0  # ⟨(iS^y)(iS^y)⟩ = -⟨S^y S^y⟩ style
+        for i in range(N):
+            for j in range(N):
+                val = self.expect(self._spin_op(i, dir) @ self._spin_op(j, dir),
+                                  beta)
+                out[pd[i, j]] += sign * val
+        return out / N
+
+    def magnetization(self, beta, dir):
+        return np.array([self.expect(self._spin_op(i, dir), beta)
+                         for i in range(self.N)])
+
+    def pc_by_distance(self, beta, K):
+        """⟨Δ(s1,t1) Δ†(s2,t2)⟩, Δ(s,t) = c_{s↑} c_{t↓}, in the
+        (n_dirs, K, K) layout of pairing_correlation."""
+        N = self.N
+        lat = self.lattice
+        pd = lat.pair_dir
+        trg, mask = lat.target_by_direction(K)
+        out = np.zeros((lat.n_dirs, K, K))
+        for s1 in range(N):
+            for s2 in range(N):
+                for k1 in range(K):
+                    if not mask[s1, k1]:
+                        continue
+                    for k2 in range(K):
+                        if not mask[s2, k2]:
+                            continue
+                        t1, t2 = trg[s1, k1], trg[s2, k2]
+                        op = (self.c(s1, 0) @ self.c(t1, 1) @
+                              self.cdag(t2, 1) @ self.cdag(s2, 0))
+                        out[pd[s1, s2], k1, k2] += self.expect(op, beta)
+        return out / N
