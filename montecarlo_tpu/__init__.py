@@ -62,8 +62,6 @@ _EXPORTS = {
     "pairing_correlation": "measurements",
     "pairing_susceptibility": "measurements",
     "current_current_susceptibility": "measurements",
-    "noninteracting_energy": "measurements", "total_energy": "measurements",
-    "kinetic_energy": "measurements", "interaction_energy": "measurements",
     "fourier_transform": "measurements.postprocessing",
     "structure_factor": "measurements.postprocessing",
     "uniform_fourier": "measurements.postprocessing",

@@ -299,13 +299,16 @@ def _record_prop_error(state, G_wrapped, G_recomputed):
 
 def sweep_pair(ctx, consts, state):
     """One full [down sweep; up sweep] pass over imaginary time, updating every
-    site of every slice twice. Returns (state, G_meas) where G_meas is the
-    effective G at the reference's measurement point (current_slice==1,
-    direction==+1, after the slice-0 site updates — DQMC.jl:425-436)."""
+    site of every slice twice. Returns (state, G_meas, conf_meas) where G_meas
+    and conf_meas are the effective G and the HS field snapshotted at the
+    reference's measurement point (current_slice==1, direction==+1, after the
+    slice-0 site updates — DQMC.jl:425-436); time-displaced measurements must
+    use conf_meas, not the end-of-sweep conf."""
     conf = state["conf"]
     key = state["key"]
     S_U, S_D, S_T = state["S_U"], state["S_D"], state["S_T"]
     G = state["G"]
+    conf_meas = conf
     acc = state["acc"]
     nneg = state["neg_prob"]
     n_seg, sm = ctx.n_seg, ctx.sm
@@ -361,6 +364,7 @@ def sweep_pair(ctx, consts, state):
             acc = acc + a.astype(jnp.int64)
             nneg = nneg + ng.astype(jnp.int64)
             G_meas = G
+            conf_meas = conf
             G = wrap_up(ctx, consts, sigma, G)
             slices = jnp.arange(1, sm)
         else:
@@ -378,7 +382,7 @@ def sweep_pair(ctx, consts, state):
     state.update(conf=conf, key=key, S_U=S_U, S_D=S_D, S_T=S_T, G=G,
                  acc=acc, neg_prob=nneg,
                  prop=state["prop"] + 2 * ctx.M * ctx.N)
-    return state, G_meas
+    return state, G_meas, conf_meas
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from jax import lax
 
 from .parameters import DQMCParameters
 from . import core
+from . import unequal_time as ut
 from ..measurements.core import MeasurementRegistry
 from ..io.recorder import ConfigRecorder, Discarder
 from ..utils.timing import timer
@@ -124,16 +125,11 @@ class DQMC:
 
         def one_sweep(carry, sweep_idx):
             states, bstates = carry
-            states, G_meas = vsweep(states)
+            states, G_meas, conf_meas = vsweep(states)
             if meas_items:
                 def do_measure(bstates):
-                    G_phys = vunwrap(G_meas)
-                    new = {}
-                    for mkey, meas in meas_items:
-                        vals = meas.measure_fn(greens=G_phys,
-                                               conf=states["conf"])
-                        new[mkey] = meas.push(bstates[mkey], vals)
-                    return new
+                    return self._measure_all(meas_items, bstates, G_meas,
+                                             conf_meas)
 
                 bstates = lax.cond(sweep_idx % p.measure_rate == 0,
                                    do_measure, lambda b: b, bstates)
@@ -146,6 +142,64 @@ class DQMC:
             return states, bstates
 
         return block
+
+    def _measure_all(self, meas_items, bstates, G_meas, conf_meas):
+        """Measurement pass, grouped by Green's-function requirement so each
+        required G is computed once (reference: generate_groups,
+        src/flavors/DQMC/measurements/generic.jl:121-150). Jittable.
+
+        G_meas: effective equal-time G at the measurement point (C, F, N, N);
+        conf_meas: HS field snapshot at the measurement point (C, N, M).
+        """
+        ctx, consts = self.ctx, self.consts
+        vunwrap = jax.vmap(partial(core.unwrap_greens, ctx, consts))
+        equal = [(k, m) for k, m in meas_items if m.kind == "equal"]
+        gat = [(k, m) for k, m in meas_items if m.kind == "greens_at"]
+        comb = [(k, m) for k, m in meas_items if m.kind == "combined"]
+        new = dict(bstates)
+        G_phys = vunwrap(G_meas)
+        for k, m in equal:
+            vals = m.measure_fn(greens=G_phys, conf=conf_meas)
+            new[k] = m.push(bstates[k], vals)
+        if gat:
+            utgs = {}
+            for _, m in gat:
+                if m.greens_at not in utgs:
+                    kk, ll = m.greens_at
+                    utg_eff = jax.vmap(
+                        lambda c: ut.greens_kl(ctx, consts, c, kk, ll)
+                    )(conf_meas)
+                    utgs[m.greens_at] = vunwrap(utg_eff)
+            for k, m in gat:
+                vals = m.measure_fn(utg=utgs[m.greens_at], greens=G_phys,
+                                    conf=conf_meas)
+                new[k] = m.push(bstates[k], vals)
+        if comb:
+            dtau = self.parameters.delta_tau
+
+            def per_chain(c, G00_eff, G00_phys):
+                acc0 = {k: {name: jnp.zeros(shape, jnp.float64)
+                            for name, shape in m.obs_shapes.items()}
+                        for k, m in comb}
+
+                def step_fn(acc, G0l, Gl0, Gll):
+                    out = dict(acc)
+                    for k, m in comb:
+                        contrib = m.measure_fn(G00=G00_phys, G0l=G0l,
+                                               Gl0=Gl0, Gll=Gll)
+                        out[k] = {n: acc[k][n] + contrib[n] for n in contrib}
+                    return out
+
+                acc = ut.combined_greens_apply(ctx, consts, c, G00_eff,
+                                               acc0, step_fn)
+                # finish! integral weight factor = delta_tau
+                # (reference: generic.jl:240 + :279-294)
+                return jax.tree_util.tree_map(lambda x: x * dtau, acc)
+
+            accs = jax.vmap(per_chain)(conf_meas, G_meas, G_phys)
+            for k, m in comb:
+                new[k] = m.push(bstates[k], accs[k])
+        return new
 
     def _get_block(self, measure, stage):
         key = (measure, stage)
@@ -268,17 +322,13 @@ class DQMC:
         for k, meas in self.measurements.measurements.items():
             self.measurements.states[k] = meas.bind(self.n_chains)
 
+        meas_items = list(self.measurements.measurements.items())
+
         @jax.jit
         def measure_all(bstates, conf):
             G_eff = jax.vmap(lambda c: core.greens_from_scratch(
                 self.ctx, self.consts, c, 0))(conf)
-            G_phys = jax.vmap(partial(core.unwrap_greens, self.ctx,
-                                      self.consts))(G_eff)
-            new = {}
-            for mkey, meas in self.measurements.measurements.items():
-                vals = meas.measure_fn(greens=G_phys, conf=conf)
-                new[mkey] = meas.push(bstates[mkey], vals)
-            return new
+            return self._measure_all(meas_items, bstates, G_eff, conf)
 
         states = self.measurements.states
         for conf in configurations:

@@ -41,6 +41,17 @@ class Measurement:
     measure_fn: Callable[..., Dict[str, jnp.ndarray]]
     finish_fn: Optional[Callable] = None
     dtype: Any = jnp.float64
+    # Greens requirement (reference: Greens / GreensAt{k,l} /
+    # CombinedGreensIterator markers, src/flavors/DQMC/measurements/
+    # generic.jl:108-150, used by generate_groups to share Green's
+    # computations between measurements):
+    #   "equal"      measure_fn(greens=G_phys, conf=conf)
+    #   "greens_at"  measure_fn(utg=G(k,l)_phys, greens=..., conf=...)
+    #   "combined"   measure_fn is a STEP function
+    #                (G00, G0l, Gl0, Gll) -> {name: contribution}; the driver
+    #                sums it over l = 1..M and multiplies by delta_tau
+    kind: str = "equal"
+    greens_at: Optional[Tuple[int, int]] = None
     # filled at bind time
     binners: Dict[str, LogBinner] = field(default_factory=dict)
 

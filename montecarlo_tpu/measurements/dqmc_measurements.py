@@ -84,17 +84,68 @@ def _segment_by_dir(K, pair_dir_flat, n_dirs, N):
     return jax.ops.segment_sum(K.reshape(-1), pair_dir_flat, n_dirs) / N
 
 
+# ------------------------------------------------- time-displaced kernel mats
+def cdc4_matrix(G00, G0l, Gl0, Gll):
+    """Charge density susceptibility step kernel
+    (reference: cdc_kernel NTuple{4}, measurements.jl:75-90)."""
+    Gu0, Gd0, I = _updn(G00)
+    GuL, GdL = _blocks(Gll)
+    du = 1.0 - jnp.diagonal(GuL)
+    dd = 1.0 - jnp.diagonal(GdL)
+    eu = 1.0 - jnp.diagonal(Gu0)
+    ed = 1.0 - jnp.diagonal(Gd0)
+    nn = ((du + dd)[:, None] * (eu + ed)[None, :])
+    G0lu, G0ld = _blocks(G0l)
+    Gl0u, Gl0d = _blocks(Gl0)
+    return nn - G0lu.T * Gl0u - G0ld.T * Gl0d
+
+
+def sdc_x4_matrix(G00, G0l, Gl0, Gll):
+    """(reference: sdc_x_kernel NTuple{4}, measurements.jl:156-163;
+    cross-spin entries vanish for block-diagonal G)."""
+    G0lu, G0ld = _blocks(G0l)
+    Gl0u, Gl0d = _blocks(Gl0)
+    return -(G0lu.T * Gl0d + G0ld.T * Gl0u)
+
+
+sdc_y4_matrix = sdc_x4_matrix  # identical for block-diagonal G
+
+
+def sdc_z4_matrix(G00, G0l, Gl0, Gll):
+    """(reference: sdc_z_kernel NTuple{4}, measurements.jl:189-195)."""
+    GuL, GdL = _blocks(Gll)
+    Gu0, Gd0 = _blocks(G00)
+    du = 1.0 - jnp.diagonal(GuL)
+    dd = 1.0 - jnp.diagonal(GdL)
+    eu = 1.0 - jnp.diagonal(Gu0)
+    ed = 1.0 - jnp.diagonal(Gd0)
+    nn = ((du - dd)[:, None] * (eu - ed)[None, :])
+    G0lu, G0ld = _blocks(G0l)
+    Gl0u, Gl0d = _blocks(Gl0)
+    return nn - G0lu.T * Gl0u - G0ld.T * Gl0d
+
+
 # ----------------------------------------------------------- measurements
-def greens_measurement(mc, model, **kwargs) -> Measurement:
-    """Full equal-time Green's function, shape (F, N, N)
-    (reference: greens_measurement, measurements.jl:31-37)."""
+def greens_measurement(mc, model, greens_at=None, **kwargs) -> Measurement:
+    """Full equal-time Green's function, shape (F, N, N); with
+    ``greens_at=(k, l)`` the time-displaced G(k·dtau ← l·dtau)
+    (reference: greens_measurement, measurements.jl:31-37 and the GreensAt
+    marker, generic.jl:108-114)."""
     F = model.nflavors
     N = len(model.lattice)
 
-    def measure(greens, **_):
-        return {"greens": greens}
+    if greens_at is None:
+        def measure(greens, **_):
+            return {"greens": greens}
 
-    return Measurement("greens", {"greens": (F, N, N)}, measure)
+        return Measurement("greens", {"greens": (F, N, N)}, measure)
+
+    def measure_at(utg, **_):
+        return {"greens": utg}
+
+    return Measurement(f"greens_at_{greens_at}", {"greens": (F, N, N)},
+                       measure_at, kind="greens_at",
+                       greens_at=(int(greens_at[0]), int(greens_at[1])))
 
 
 def occupation(mc, model, **kwargs) -> Measurement:
@@ -162,6 +213,136 @@ def magnetization(mc, model, dir: str, **kwargs) -> Measurement:
         return {f"m_{dir}": m}
 
     return Measurement(f"magnetization_{dir}", {f"m_{dir}": (N,)}, measure)
+
+
+def charge_density_susceptibility(mc, model, **kwargs) -> Measurement:
+    """τ-integrated ⟨n_i(τ) n_j(0)⟩ by distance (reference:
+    charge_density_susceptibility, measurements.jl:54-56)."""
+    return _by_distance_susceptibility(mc, model, "cds", cdc4_matrix)
+
+
+def spin_density_susceptibility(mc, model, dir: str, **kwargs) -> Measurement:
+    """τ-integrated ⟨S^a_i(τ) S^a_j(0)⟩ by distance (reference:
+    spin_density_susceptibility, measurements.jl:144-146)."""
+    fn = {"x": sdc_x4_matrix, "y": sdc_y4_matrix, "z": sdc_z4_matrix}[dir]
+    return _by_distance_susceptibility(mc, model, f"sds_{dir}", fn)
+
+
+def _by_distance_susceptibility(mc, model, name, matrix4_fn) -> Measurement:
+    lat = model.lattice
+    N = len(lat)
+    pair_dir_flat = jnp.asarray(lat.pair_dir.reshape(-1), jnp.int32)
+    n_dirs = lat.n_dirs
+
+    def step(G00, G0l, Gl0, Gll, **_):
+        K = matrix4_fn(G00, G0l, Gl0, Gll)
+        return {name: _segment_by_dir(K, pair_dir_flat, n_dirs, N)}
+
+    return Measurement(name, {name: (n_dirs,)}, step, kind="combined")
+
+
+def pairing_susceptibility(mc, model, K: int = None, **kwargs) -> Measurement:
+    """τ-integrated pairing susceptibility
+    (reference: pairing_susceptibility + pc_kernel NTuple{4},
+    measurements.jl:206-219: Gl0[s1,s2]·Gl0[t1+N,t2+N])."""
+    lat = model.lattice
+    N = len(lat)
+    if K is None:
+        K = 1 + lat.coordination
+    trg, mask = lat.target_by_direction(K)
+    trg_j = jnp.asarray(np.where(mask, trg, 0), jnp.int32)
+    mask_j = jnp.asarray(mask)
+    pair_dir_flat = jnp.asarray(lat.pair_dir.reshape(-1), jnp.int32)
+    n_dirs = lat.n_dirs
+
+    def step(G00, G0l, Gl0, Gll, **_):
+        Gl0u, Gl0d = _blocks(Gl0)
+        out = []
+        for k1 in range(K):
+            row = []
+            for k2 in range(K):
+                t1 = trg_j[:, k1]
+                t2 = trg_j[:, k2]
+                Kmat = Gl0u * Gl0d[t1[:, None], t2[None, :]]
+                valid = (mask_j[:, k1][:, None] & mask_j[:, k2][None, :])
+                Kmat = jnp.where(valid, Kmat, 0.0)
+                row.append(_segment_by_dir(Kmat, pair_dir_flat, n_dirs, N))
+            out.append(jnp.stack(row, -1))
+        return {"ps": jnp.stack(out, -2)}
+
+    return Measurement("pairing_susceptibility", {"ps": (n_dirs, K, K)}, step,
+                       kind="combined")
+
+
+def current_current_susceptibility(mc, model, K: int = None, **kwargs) -> Measurement:
+    """τ-integrated current-current correlation, binned by (dir12, dir)
+    with synced bond directions (reference: current_current_susceptibility +
+    cc_kernel, measurements.jl:223-317; EachLocalQuadBySyncedDistance).
+
+    cc_kernel (block-diagonal form): with t_i = site at direction k from s_i
+    and j_b(s) = T[s,t]·G_b[t,s] - T[t,s]·G_b[s,t],
+      Σ_{b1,b2} j_{b1,l}(s1)·j_{b2,0}(s2)
+      + Σ_b [ T[t1,s1]T[t2,s2]·(-G0l_b[s2,t1])·Gl0_b[s1,t2]
+            - T[s1,t1]T[t2,s2]·(-G0l_b[s2,s1])·Gl0_b[t1,t2]
+            - T[t1,s1]T[s2,t2]·(-G0l_b[t2,t1])·Gl0_b[s1,s2]
+            + T[s1,t1]T[s2,t2]·(-G0l_b[t2,s1])·Gl0_b[t1,s2] ]
+    """
+    lat = model.lattice
+    N = len(lat)
+    if K is None:
+        K = 1 + lat.coordination
+    trg, mask = lat.target_by_direction(K)
+    trg_np = np.where(mask, trg, 0)
+    trg_j = jnp.asarray(trg_np, jnp.int32)
+    mask_j = jnp.asarray(mask)
+    pair_dir_flat = jnp.asarray(lat.pair_dir.reshape(-1), jnp.int32)
+    n_dirs = lat.n_dirs
+    T_host = model.hopping_matrix()
+    # per direction k: hopping elements along/against the bond
+    T_st = jnp.asarray(np.stack([T_host[np.arange(N), trg_np[:, k]]
+                                 for k in range(K)], -1))  # T[s, t(s,k)]
+    T_ts = jnp.asarray(np.stack([T_host[trg_np[:, k], np.arange(N)]
+                                 for k in range(K)], -1))  # T[t(s,k), s]
+
+    def step(G00, G0l, Gl0, Gll, **_):
+        blocks0 = _blocks(G00)
+        blocksL = _blocks(Gll)
+        blocks0l = _blocks(G0l)
+        blocksl0 = _blocks(Gl0)
+        out = []
+        for k in range(K):
+            t = trg_j[:, k]
+            tst = T_st[:, k]   # T[s, t]
+            tts = T_ts[:, k]   # T[t, s]
+            # current densities j_b at time l (from Gll) and 0 (from G00)
+            jl = sum(tst * Gb[t, jnp.arange(N)] - tts * Gb[jnp.arange(N), t]
+                     for Gb in blocksL)
+            j0 = sum(tst * Gb[t, jnp.arange(N)] - tts * Gb[jnp.arange(N), t]
+                     for Gb in blocks0)
+            Kmat = jl[:, None] * j0[None, :]
+            for G0b, Gl0b in zip(blocks0l, blocksl0):
+                # rows indexed by s1 (and t1 = t[s1]), cols by s2 (t2 = t[s2])
+                G0l_s2_t1 = G0b.T[t, :]          # [s1, s2] = G0l[s2, t1]
+                G0l_s2_s1 = G0b.T                # [s1, s2] = G0l[s2, s1]
+                G0l_t2_t1 = G0b.T[t][:, t]       # [s1, s2] = G0l[t2, t1]
+                G0l_t2_s1 = G0b.T[:, t]          # [s1, s2] = G0l[t2, s1]
+                Gl0_s1_t2 = Gl0b[:, t]           # [s1, s2] = Gl0[s1, t2]
+                Gl0_t1_t2 = Gl0b[t][:, t]        # [s1, s2] = Gl0[t1, t2]
+                Gl0_s1_s2 = Gl0b                 # [s1, s2] = Gl0[s1, s2]
+                Gl0_t1_s2 = Gl0b[t, :]           # [s1, s2] = Gl0[t1, s2]
+                Kmat = Kmat + (
+                    (tts[:, None] * tts[None, :]) * (-G0l_s2_t1) * Gl0_s1_t2
+                    - (tst[:, None] * tts[None, :]) * (-G0l_s2_s1) * Gl0_t1_t2
+                    - (tts[:, None] * tst[None, :]) * (-G0l_t2_t1) * Gl0_s1_s2
+                    + (tst[:, None] * tst[None, :]) * (-G0l_t2_s1) * Gl0_t1_s2
+                )
+            valid = mask_j[:, k][:, None] & mask_j[:, k][None, :]
+            Kmat = jnp.where(valid, Kmat, 0.0)
+            out.append(_segment_by_dir(Kmat, pair_dir_flat, n_dirs, N))
+        return {"ccs": jnp.stack(out, -1)}
+
+    return Measurement("current_current_susceptibility",
+                       {"ccs": (n_dirs, K)}, step, kind="combined")
 
 
 def pairing_correlation(mc, model, K: int = None, **kwargs) -> Measurement:

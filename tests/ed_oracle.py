@@ -174,6 +174,115 @@ class EDSolution:
         return np.array([self.expect(self._spin_op(i, dir), beta)
                          for i in range(self.N)])
 
+    # ----------------------------------------------- time-displaced bundles
+    def utg_spin(self, beta, tau1, tau2, s1=0, s2=0):
+        """⟨T c_{i,s1}(τ1) c†_{j,s2}(τ2)⟩ (reference:
+        calculate_Greens_matrix, test/ED/ED.jl:590-621)."""
+        N = self.N
+        G = np.zeros((N, N))
+        for i in range(N):
+            for j in range(N):
+                if tau1 >= tau2:
+                    G[i, j] = self.expect_td(self.c(i, s1), self.cdag(j, s2),
+                                             tau1, tau2, beta)
+                else:
+                    G[i, j] = -self.expect_td(self.cdag(j, s2), self.c(i, s1),
+                                              tau2, tau1, beta)
+        return G
+
+    def integrated(self, A, B, beta, step):
+        """dtau * Σ_{l=1..M} ⟨A(l·dtau) B(0)⟩ (reference:
+        expectation_value_integrated, test/ED/ED.jl:625-674 — Riemann sum over
+        τ = beta, beta-step, ..., step)."""
+        Ae = self._to_eigen(A)
+        Be = self._to_eigen(B)
+        Z = np.sum(np.exp(-beta * self.E))
+        taus = np.arange(step, beta + 0.5 * step, step)
+        # P_mn = Σ_τ step * exp(-(beta-τ)E_m - τE_n)
+        P = np.zeros((len(self.E), len(self.E)))
+        for t in taus:
+            P += step * np.outer(np.exp(-(beta - t) * self.E),
+                                 np.exp(-t * self.E))
+        return float(np.sum(P * Ae * Be.T) / Z)
+
+    def cds_by_distance(self, beta, step):
+        """τ-integrated ⟨n_trg(τ) n_src(0)⟩ per direction bin / N
+        (reference: ED_tests.jl CDS block)."""
+        N = self.N
+        pd = self.lattice.pair_dir
+        out = np.zeros(self.lattice.n_dirs)
+        for i in range(N):
+            for j in range(N):
+                out[pd[i, j]] += self.integrated(self.n_op(j), self.n_op(i),
+                                                 beta, step)
+        return out / N
+
+    def sds_by_distance(self, beta, step, dir):
+        N = self.N
+        pd = self.lattice.pair_dir
+        out = np.zeros(self.lattice.n_dirs)
+        sign = -1.0 if dir == "y" else 1.0  # ED m_y includes -i: (-i)^2 = -1
+        for i in range(N):
+            for j in range(N):
+                val = self.integrated(self._spin_op(j, dir),
+                                      self._spin_op(i, dir), beta, step)
+                out[pd[i, j]] += sign * val
+        return out / N
+
+    def ps_by_distance(self, beta, step, K):
+        """τ-integrated pairing susceptibility in (n_dirs, K, K) layout
+        (reference: ED_tests.jl PS block: A = c_{s1↑} c_{t1↓} at τ,
+        B = c†_{t2↓} c†_{s2↑} at 0)."""
+        N = self.N
+        lat = self.lattice
+        pd = lat.pair_dir
+        trg, mask = lat.target_by_direction(K)
+        out = np.zeros((lat.n_dirs, K, K))
+        for s1 in range(N):
+            for s2 in range(N):
+                for k1 in range(K):
+                    if not mask[s1, k1]:
+                        continue
+                    for k2 in range(K):
+                        if not mask[s2, k2]:
+                            continue
+                        t1, t2 = trg[s1, k1], trg[s2, k2]
+                        A = self.c(s1, 0) @ self.c(t1, 1)
+                        B = self.cdag(t2, 1) @ self.cdag(s2, 0)
+                        out[pd[s1, s2], k1, k2] += self.integrated(A, B, beta,
+                                                                   step)
+        return out / N
+
+    def current_op(self, s, t, T):
+        """j(s,t) = Σ_σ (T[t,s]·c†_t c_s - T[s,t]·c†_s c_t)
+        (reference: current_density, test/ED/ED.jl:403-436)."""
+        J = np.zeros_like(self.C[0])
+        for sp in (0, 1):
+            J += T[t, s] * (self.cdag(t, sp) @ self.c(s, sp))
+            J -= T[s, t] * (self.cdag(s, sp) @ self.c(t, sp))
+        return J
+
+    def ccs_by_distance(self, beta, step, K, T):
+        """τ-integrated ⟨j(s1,t1)(τ) j(s2,t2)(0)⟩ with synced bond direction,
+        (n_dirs, K) layout (reference: ED_tests.jl CCS block)."""
+        N = self.N
+        lat = self.lattice
+        pd = lat.pair_dir
+        trg, mask = lat.target_by_direction(K)
+        out = np.zeros((lat.n_dirs, K))
+        for k in range(K):
+            Js = {s: self.current_op(s, trg[s, k], T)
+                  for s in range(N) if mask[s, k]}
+            for s1 in range(N):
+                if not mask[s1, k]:
+                    continue
+                for s2 in range(N):
+                    if not mask[s2, k]:
+                        continue
+                    out[pd[s1, s2], k] += self.integrated(Js[s1], Js[s2],
+                                                          beta, step)
+        return out / N
+
     def pc_by_distance(self, beta, K):
         """⟨Δ(s1,t1) Δ†(s2,t2)⟩, Δ(s,t) = c_{s↑} c_{t↓}, in the
         (n_dirs, K, K) layout of pairing_correlation."""

@@ -88,7 +88,7 @@ def test_sweep_pair_self_consistency(model_cls, U):
     state = core.init_state(ctx, consts, conf, key)
     sweep = jax.jit(partial(core.sweep_pair, ctx, consts))
     for _ in range(3):
-        state, G_meas = sweep(state)
+        state, G_meas, conf_meas = sweep(state)
     assert float(state["prop_err_max"]) < 1e-9
     assert int(state["neg_prob"]) == 0
     acc = float(state["acc"]) / float(state["prop"])
@@ -108,7 +108,7 @@ def test_measured_greens_matches_scratch():
         HubbardModelAttractive, L=4, beta=1.0, U=4.0)
     state = core.init_state(ctx, consts, conf, key)
     sweep = jax.jit(partial(core.sweep_pair, ctx, consts))
-    state, G_meas = sweep(state)
+    state, G_meas, conf_meas = sweep(state)
     G_scratch = core.greens_from_scratch(ctx, consts, state["conf"], 0)
     # end-of-pair G is G_eff(M) == G_eff(0)
     assert np.max(np.abs(np.asarray(state["G"]) - np.asarray(G_scratch))) < 1e-8
