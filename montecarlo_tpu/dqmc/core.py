@@ -242,12 +242,18 @@ def init_state(ctx, consts, conf, key):
     S_U = jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype)
     S_D = jnp.zeros((n_el, ctx.F, ctx.N), ctx.dtype)
     S_T = jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype)
-    U, D, T = _identity_udt(ctx)
-    for j in range(ctx.n_seg):
+
+    def seg(carry, j):
+        S_U, S_D, S_T, U, D, T = carry
         S_U = S_U.at[j].set(U)
         S_D = S_D.at[j].set(D)
         S_T = S_T.at[j].set(T)
         U, D, T = extend_left(ctx, consts, conf, j, U, D, T)
+        return (S_U, S_D, S_T, U, D, T), None
+
+    U, D, T = _identity_udt(ctx)
+    (S_U, S_D, S_T, U, D, T), _ = lax.scan(
+        seg, (S_U, S_D, S_T, U, D, T), jnp.arange(ctx.n_seg))
     S_U = S_U.at[ctx.n_seg].set(U)
     S_D = S_D.at[ctx.n_seg].set(D)
     S_T = S_T.at[ctx.n_seg].set(T)
@@ -313,6 +319,9 @@ def sweep_pair(ctx, consts, state):
     nneg = state["neg_prob"]
     n_seg, sm = ctx.n_seg, ctx.sm
 
+    pem = state["prop_err_max"]
+    pec = state["prop_err_count"]
+
     # ------------------------------------------------------------ down sweep
     # entry: S[j] = left products UDT(B_{j*sm-1}...B_0).
     # At the boundary into segment j we (a) read the left product from slot
@@ -321,21 +330,38 @@ def sweep_pair(ctx, consts, state):
     # copyto!(Ul, stack[idx]) before add_slice_sequence_right(idx) overwrites
     # it (stack.jl:585-614; the turnaround's stack[end] ← I reset at :570-579
     # is the j = n_seg-1 case with an identity carry).
-    rU, rD, rT = _identity_udt(ctx)
-    for j in reversed(range(n_seg)):
+    #
+    # Segment loops are lax.scan with dynamic stack indexing (NOT python
+    # unrolled): this keeps the traced graph at one segment body per
+    # direction, an order of magnitude smaller to compile.
+    def down_body(carry, j):
+        S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, pem, pec = carry
         lU, lD, lT = S_U[j + 1], S_D[j + 1], S_T[j + 1]
-        if j < n_seg - 1:
-            rU, rD, rT = extend_right(ctx, consts, conf, j + 1, rU, rD, rT)
+        first = j == n_seg - 1
+
+        def ext(args):
+            rU, rD, rT = args
+            return extend_right(ctx, consts, conf, j + 1, rU, rD, rT)
+
+        rU, rD, rT = lax.cond(first, lambda a: a, ext, (rU, rD, rT))
         S_U = S_U.at[j + 1].set(rU)
         S_D = S_D.at[j + 1].set(rD)
         S_T = S_T.at[j + 1].set(rT)
         G_re = calculate_greens(lU, lD, lT, rU, rD, rT)   # G_eff((j+1)*sm)
-        if j < n_seg - 1 and ctx.check_propagation_error:
-            state = _record_prop_error(state, G, G_re)
+        if ctx.check_propagation_error:
+            diff = jnp.max(jnp.abs(G - G_re))
+            pem = jnp.where(first, pem, jnp.maximum(pem, diff))
+            pec = pec + jnp.where(first, 0, (diff > 1e-7)).astype(jnp.int64)
         G = G_re
         slices = jnp.arange(sm - 1, -1, -1) + j * sm       # descending
         G, conf, key, (acc, nneg) = _scan_slices(
             ctx, consts, G, conf, key, (acc, nneg), slices, direction=-1)
+        return (S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, pem, pec), None
+
+    iU, iD, iT = _identity_udt(ctx)
+    carry = (S_U, S_D, S_T, G, conf, key, iU, iD, iT, acc, nneg, pem, pec)
+    carry, _ = lax.scan(down_body, carry, jnp.arange(n_seg - 1, -1, -1))
+    S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, pem, pec = carry
     rU, rD, rT = extend_right(ctx, consts, conf, 0, rU, rD, rT)
     S_U = S_U.at[0].set(rU)
     S_D = S_D.at[0].set(rD)
@@ -343,36 +369,50 @@ def sweep_pair(ctx, consts, state):
     # exit: S[j] = UDT(B_{j*sm}^†...B_{M-1}^†) for j<n_seg (S[n_seg] = I)
 
     # -------------------------------------------------------------- up sweep
-    lU, lD, lT = _identity_udt(ctx)
+    # j = 0 is peeled out: it contains the measurement snapshot (reference
+    # measurement point current_slice==1, direction==+1, DQMC.jl:425-436).
+    lU, lD, lT = iU, iD, iT
+    rU, rD, rT = S_U[0], S_D[0], S_T[0]
+    G = calculate_greens(lU, lD, lT, rU, rD, rT)           # G_eff(0)
+    S_U = S_U.at[0].set(lU)
+    S_D = S_D.at[0].set(lD)
+    S_T = S_T.at[0].set(lT)
+    key, sub = jax.random.split(key)
+    u = jax.random.uniform(sub, (ctx.N,), ctx.dtype)
+    sigma = conf[:, 0]
+    G, sigma, a, ng = sweep_slice(ctx, G, sigma, u)
+    conf = conf.at[:, 0].set(sigma)
+    acc = acc + a.astype(jnp.int64)
+    nneg = nneg + ng.astype(jnp.int64)
     G_meas = G
-    for j in range(n_seg):
+    conf_meas = conf
+    G = wrap_up(ctx, consts, sigma, G)
+    G, conf, key, (acc, nneg) = _scan_slices(
+        ctx, consts, G, conf, key, (acc, nneg), jnp.arange(1, sm), direction=+1)
+    lU, lD, lT = extend_left(ctx, consts, conf, 0, lU, lD, lT)
+
+    def up_body(carry, j):
+        S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec = carry
         rU, rD, rT = S_U[j], S_D[j], S_T[j]
-        G_re = calculate_greens(lU, lD, lT, rU, rD, rT)   # G_eff(j*sm)
-        if j > 0 and ctx.check_propagation_error:
-            state = _record_prop_error(state, G, G_re)
+        G_re = calculate_greens(lU, lD, lT, rU, rD, rT)    # G_eff(j*sm)
+        if ctx.check_propagation_error:
+            diff = jnp.max(jnp.abs(G - G_re))
+            pem = jnp.maximum(pem, diff)
+            pec = pec + (diff > 1e-7).astype(jnp.int64)
         G = G_re
         S_U = S_U.at[j].set(lU)
         S_D = S_D.at[j].set(lD)
         S_T = S_T.at[j].set(lT)
-        if j == 0:
-            # measurement point: sweep slice 0, snapshot G, then wrap
-            key, sub = jax.random.split(key)
-            u = jax.random.uniform(sub, (ctx.N,), ctx.dtype)
-            sigma = conf[:, 0]
-            G, sigma, a, ng = sweep_slice(ctx, G, sigma, u)
-            conf = conf.at[:, 0].set(sigma)
-            acc = acc + a.astype(jnp.int64)
-            nneg = nneg + ng.astype(jnp.int64)
-            G_meas = G
-            conf_meas = conf
-            G = wrap_up(ctx, consts, sigma, G)
-            slices = jnp.arange(1, sm)
-        else:
-            slices = jnp.arange(j * sm, (j + 1) * sm)
-        if slices.shape[0] > 0:
-            G, conf, key, (acc, nneg) = _scan_slices(
-                ctx, consts, G, conf, key, (acc, nneg), slices, direction=+1)
+        slices = jnp.arange(sm) + j * sm
+        G, conf, key, (acc, nneg) = _scan_slices(
+            ctx, consts, G, conf, key, (acc, nneg), slices, direction=+1)
         lU, lD, lT = extend_left(ctx, consts, conf, j, lU, lD, lT)
+        return (S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec), None
+
+    if n_seg > 1:
+        carry = (S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec)
+        carry, _ = lax.scan(up_body, carry, jnp.arange(1, n_seg))
+        S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec = carry
     S_U = S_U.at[n_seg].set(lU)
     S_D = S_D.at[n_seg].set(lD)
     S_T = S_T.at[n_seg].set(lT)
@@ -380,7 +420,7 @@ def sweep_pair(ctx, consts, state):
 
     state = dict(state)
     state.update(conf=conf, key=key, S_U=S_U, S_D=S_D, S_T=S_T, G=G,
-                 acc=acc, neg_prob=nneg,
+                 acc=acc, neg_prob=nneg, prop_err_max=pem, prop_err_count=pec,
                  prop=state["prop"] + 2 * ctx.M * ctx.N)
     return state, G_meas, conf_meas
 

@@ -105,6 +105,16 @@ class DQMC:
     def conf(self):
         return self.state["conf"]
 
+    def __setitem__(self, key, measurement):
+        """mc[key] = measurement sugar (reference: push!,
+        src/Measurements.jl:392-508)."""
+        self.measurements.add(key, measurement, self.n_chains)
+        self._block_fns.clear()
+
+    def __delitem__(self, key):
+        self.measurements.remove(key)
+        self._block_fns.clear()
+
     def __getitem__(self, key):
         return self.measurements[key]
 

@@ -103,6 +103,16 @@ class MC:
 
         self._block_fns = {}
 
+    def __setitem__(self, key, measurement):
+        """mc[key] = measurement sugar (reference: push!,
+        src/Measurements.jl:392-508)."""
+        self.measurements.add(key, measurement, self.n_chains)
+        self._block_fns.clear()
+
+    def __delitem__(self, key):
+        self.measurements.remove(key)
+        self._block_fns.clear()
+
     def __getitem__(self, key):
         """mc[:key] observable sugar (reference: src/Measurements.jl:370-374)."""
         return self.measurements[key]

@@ -38,14 +38,27 @@ def udt_dirty(A):
       D    (..., n)    positive real
       R    (..., n, n) upper triangular with unit-magnitude diagonal ("dirty T")
       piv  (..., n)    column permutation: A[..., :, piv] = U D R
-    """
-    norms = jnp.linalg.norm(A, axis=-2)
+
+    Range safety: DQMC propagator products have entries spanning ~e^{±beta·W}
+    (1e±20 at beta=10). On TPU, float64 is emulated with double-float
+    arithmetic that has only float32 RANGE (~1e38), so the squared column
+    norms inside QR overflow. Fix: a SCALAR per-matrix max-abs prescale —
+    unlike per-column normalization it cannot disturb the graded structure
+    the stabilization relies on (every entry's relative precision is
+    unchanged), but it brings the largest entry to 1 so all norms fit.
+    The scale folds back into D."""
+    mx = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
+    mx = jnp.maximum(mx, jnp.finfo(A.dtype).tiny)
+    mx = jnp.exp2(jnp.ceil(jnp.log2(mx)))  # power of two: scaling is exact
+    As = A / mx
+    norms = jnp.linalg.norm(As, axis=-2)
     piv = jnp.argsort(-norms, axis=-1)
-    Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1)
+    Ap = jnp.take_along_axis(As, piv[..., None, :], axis=-1)
     Q, R = jnp.linalg.qr(Ap)
     d = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1).real)
     d = jnp.maximum(d, jnp.finfo(d.dtype).tiny)
     Rs = R / d[..., :, None]
+    d = d * mx[..., 0]
     return Q, d, Rs, piv
 
 

@@ -25,10 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # JAX >= 0.4.30
+try:  # JAX >= 0.7 moved shard_map out of experimental
+    from jax import shard_map as _sm
+    shard_map = _sm.shard_map if hasattr(_sm, "shard_map") else _sm
+except (ImportError, AttributeError):  # pragma: no cover
     from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
 
 CHAIN_AXIS = "chains"
 
