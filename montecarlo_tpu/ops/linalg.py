@@ -87,31 +87,35 @@ def rdiv_dirty(A, R, piv):
 def calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr):
     """G = [I + Ul·diag(Dl)·Tl · Tr†·diag(Dr)·Ur†]^{-1}.
 
-    Functional transcription of the 6-step UDT algebra of the reference
-    (calculate_greens_AVX!, src/flavors/DQMC/stack.jl:337-393): two interior
-    UDT decompositions absorb the huge dynamic range of Dl/Dr so the final
-    inverse is formed from well-conditioned triangular factors only. Batches
-    over any leading axes.
+    Range-safe Dmax/Dmin-split algebra. The reference's 6-step equal-time
+    version (calculate_greens_AVX!, src/flavors/DQMC/stack.jl:337-393) forms
+    Dl·(Tl Tr†)·Dr whose "dirty" triangular factor acquires rows of size
+    ~s_max/d_min ≈ e^{2·beta·W} — beyond the f32 exponent range of TPU f64
+    emulation. Instead we use the splitting of the reference's unequal-time
+    code (calculate_greens_full1!, unequal_time_stack.jl:443-525), applied to
+    the equal-time case:
+
+      I + Ul Dl X Dr Ur†
+        = Ul·Dlp·[ Dlp^{-1}·(Ul†Ur)·Drp^{-1} + Dlm·X·Drm ]·Drp·Ur†
+      G = Ur·Drp^{-1}·M^{-1}·Dlp^{-1}·Ul†,   M = the bracket,
+
+    with Dlp = max(Dl,1), Dlm = min(Dl,1) (and likewise Dr): every factor of
+    M is bounded by ~1, so all intermediates stay within ~e^{beta·W}. Needs
+    only ONE interior UDT (the reference needs two). Batches over leading axes.
     """
-    # B1: udt(Dl · (Tl Tr†) · Dr)
-    M = Tl @ _adj(Tr)
-    M = M * Dr[..., None, :]
-    M = M * Dl[..., :, None]
-    u1, d1, r1, p1 = udt_dirty(M)
-    # B2: inv(I + Ul u1 d1 t1 Ur†) = Ur t1^{-1} [ (Ul u1)† Ur t1^{-1} + d1 ]^{-1} (Ul u1)†
-    tl = Ul @ u1
-    ur = rdiv_dirty(Ur, r1, p1)
-    tr = _adj(tl) @ ur
-    # B3: add diag(d1)
-    n = tr.shape[-1]
-    tr = tr + d1[..., :, None] * jnp.eye(n, dtype=tr.dtype)
-    # B4: udt(tr); ur ← ur t2^{-1}; tl2 ← tl u2
-    u2, d2, r2, p2 = udt_dirty(tr)
-    ur2 = rdiv_dirty(ur, r2, p2)
-    tl2 = tl @ u2
-    # B5+B6: G = (ur2 · diag(1/d2)) · tl2†
-    G = (ur2 / d2[..., None, :]) @ _adj(tl2)
-    return G
+    Dlp = jnp.maximum(Dl, 1.0)
+    Dlm = jnp.minimum(Dl, 1.0)
+    Drp = jnp.maximum(Dr, 1.0)
+    Drm = jnp.minimum(Dr, 1.0)
+    X = Tl @ _adj(Tr)
+    M = (_adj(Ul) @ Ur) / Dlp[..., :, None] / Drp[..., None, :]
+    M = M + (Dlm[..., :, None] * X) * Drm[..., None, :]
+    u, d, r, piv = udt_dirty(M)
+    # G = (Ur/Drp) · t^{-1} · d^{-1} · u† · (Dlp^{-1}·Ul†)
+    Z = rdiv_dirty(Ur / Drp[..., None, :], r, piv)
+    Z = Z / d[..., None, :]
+    W = _adj(u) / Dlp[..., None, :]   # u† · diag(1/Dlp)
+    return Z @ (W @ _adj(Ul))
 
 
 def calculate_greens_and_logdet(Ul, Dl, Tl, Ur, Dr, Tr):
