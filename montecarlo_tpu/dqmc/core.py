@@ -53,6 +53,18 @@ class DQMCContext:
     dtype: object
     signs: tuple      # flavor signs for the HS coupling
     check_propagation_error: bool = True
+    # Mixed precision: the Green's function and the per-slice hot path (wraps,
+    # rank-1 Metropolis updates) run in update_dtype, while the UDT stacks and
+    # stabilized recomputations stay in dtype. G is O(1)-ranged so f32 is
+    # range-safe there; drift accumulated over a safe_mult window is reset by
+    # the f64 recomputation at every boundary (and monitored by the
+    # propagation-error check against prop_err_threshold).
+    update_dtype: object = None
+    prop_err_threshold: float = 1e-7
+
+    @property
+    def udtype(self):
+        return self.update_dtype if self.update_dtype is not None else self.dtype
 
     @property
     def n_seg(self):
@@ -63,7 +75,7 @@ class DQMCContext:
         return self.n_seg + 1
 
 
-def make_context(model, params, dtype=jnp.float64,
+def make_context(model, params, dtype=jnp.float64, update_dtype=None,
                  check_propagation_error: bool = None) -> Tuple[DQMCContext, dict]:
     """Build the static context + hopping matrix exponentials for a model.
 
@@ -77,21 +89,29 @@ def make_context(model, params, dtype=jnp.float64,
     dtau = params.delta_tau
     w, V = np.linalg.eigh(T)
     expm = lambda c: (V * np.exp(c * w)[None, :]) @ V.T
+    udtype = dtype if update_dtype is None else update_dtype
     consts = {
         "eT2": jnp.asarray(expm(-dtau), dtype),
         "eT2inv": jnp.asarray(expm(dtau), dtype),
         "eThalf": jnp.asarray(expm(-0.5 * dtau), dtype),
         "eThalfinv": jnp.asarray(expm(0.5 * dtau), dtype),
         "hopping": jnp.asarray(T, dtype),
+        "eT2_u": jnp.asarray(expm(-dtau), udtype),
+        "eT2inv_u": jnp.asarray(expm(dtau), udtype),
     }
     cpe = (params.check_propagation_error
            if check_propagation_error is None else check_propagation_error)
+    mixed = update_dtype is not None and jnp.dtype(update_dtype) != jnp.dtype(dtype)
     ctx = DQMCContext(
         N=len(model.lattice), M=params.slices, sm=params.safe_mult,
         F=model.nflavors, lamb=model.lamb(dtau),
         det_power=2 // model.nflavors, use_boson=model.use_boson_weight,
         dtype=jnp.dtype(dtype), signs=tuple(model.flavor_signs),
         check_propagation_error=bool(cpe),
+        update_dtype=None if update_dtype is None else jnp.dtype(update_dtype),
+        # mixed mode: window-end drift ~cond(window)*eps_f32 is EXPECTED
+        # (reset at each boundary); only count catastrophic excursions
+        prop_err_threshold=1.0 if mixed else 1e-7,
     )
     return ctx, consts
 
@@ -100,14 +120,15 @@ def make_context(model, params, dtype=jnp.float64,
 # slice matrix multiplications  (reference: src/flavors/DQMC/slice_matrices.jl)
 # ---------------------------------------------------------------------------
 
-def _signs(ctx):
-    return jnp.asarray(ctx.signs, ctx.dtype)
+def _signs(ctx, dtype=None):
+    return jnp.asarray(ctx.signs, dtype or ctx.dtype)
 
 
-def eV_diag(ctx, sigma_l, power=1.0):
+def eV_diag(ctx, sigma_l, power=1.0, dtype=None):
     """diag of exp(-power*dtau*V(l)) as (F, N). sigma_l: (N,) int8."""
-    s = sigma_l.astype(ctx.dtype)
-    return jnp.exp(power * ctx.lamb * _signs(ctx)[:, None] * s[None, :])
+    dtype = dtype or ctx.dtype
+    s = sigma_l.astype(dtype)
+    return jnp.exp(dtype.type(power * ctx.lamb) * _signs(ctx, dtype)[:, None] * s[None, :])
 
 
 def mult_B_left(ctx, consts, sigma_l, M):
@@ -142,16 +163,21 @@ def mult_B_dagger_left(ctx, consts, sigma_l, M):
 
 def wrap_up(ctx, consts, sigma_l, G):
     """G_eff(l) → G_eff(l+1) = B_l G B_l^{-1}
-    (reference: wrap_greens! direction +1, stack.jl:491-500)."""
-    return mult_B_inv_right(ctx, consts, sigma_l,
-                            mult_B_left(ctx, consts, sigma_l, G))
+    (reference: wrap_greens! direction +1, stack.jl:491-500).
+    Runs in the update dtype (hot path)."""
+    eV = eV_diag(ctx, sigma_l, dtype=ctx.udtype)
+    G = consts["eT2_u"] @ (eV[:, :, None] * G)
+    eVinv = eV_diag(ctx, sigma_l, -1.0, dtype=ctx.udtype)
+    return (G * eVinv[:, None, :]) @ consts["eT2inv_u"]
 
 
 def wrap_down(ctx, consts, sigma_l, G):
     """G_eff(l+1) → G_eff(l) = B_l^{-1} G B_l
-    (reference: wrap_greens! direction -1)."""
-    return mult_B_right(ctx, consts, sigma_l,
-                        mult_B_inv_left(ctx, consts, sigma_l, G))
+    (reference: wrap_greens! direction -1). Runs in the update dtype."""
+    eVinv = eV_diag(ctx, sigma_l, -1.0, dtype=ctx.udtype)
+    G = eVinv[:, :, None] * (consts["eT2inv_u"] @ G)
+    eV = eV_diag(ctx, sigma_l, dtype=ctx.udtype)
+    return (G @ consts["eT2_u"]) * eV[:, None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -199,18 +225,19 @@ def sweep_slice(ctx, G, sigma, u):
     """Sequential Metropolis over all sites of one time slice with rank-1
     Green's updates per flavor block. G: (F,N,N), sigma: (N,), u: (N,) uniforms.
     Returns (G, sigma, n_accepted, n_negative_detratio)."""
-    signs = _signs(ctx)
+    ud = ctx.udtype
+    signs = _signs(ctx, ud)
 
     def body(i, carry):
         G, sigma, acc, nneg = carry
-        s = sigma[i].astype(ctx.dtype)
-        dEb = -2.0 * ctx.lamb * s
+        s = sigma[i].astype(ud)
+        dEb = ud.type(-2.0 * ctx.lamb) * s
         delta = jnp.expm1(signs * dEb)                   # (F,)
         gii = jnp.diagonal(G, axis1=-2, axis2=-1)
         gii = lax.dynamic_slice_in_dim(gii, i, 1, axis=1)[:, 0]  # (F,)
         r = 1.0 + delta * (1.0 - gii)
         detratio = jnp.prod(r) ** ctx.det_power
-        w = jnp.exp(-dEb) if ctx.use_boson else 1.0
+        w = jnp.exp(-dEb) if ctx.use_boson else ud.type(1.0)
         p = w * detratio
         accept = u[i] < p
         nneg = nneg + jnp.asarray(detratio < 0, jnp.int32)
@@ -260,7 +287,7 @@ def init_state(ctx, consts, conf, key):
     return {
         "conf": conf,
         "S_U": S_U, "S_D": S_D, "S_T": S_T,
-        "G": jnp.zeros((ctx.F, ctx.N, ctx.N), ctx.dtype),
+        "G": jnp.zeros((ctx.F, ctx.N, ctx.N), ctx.udtype),
         "key": key,
         "acc": jnp.zeros((), jnp.int64),
         "prop": jnp.zeros((), jnp.int64),
@@ -279,7 +306,7 @@ def _scan_slices(ctx, consts, G, conf, key, counters, slice_list, direction):
     def body(carry, l):
         G, conf, key, acc, nneg = carry
         key, sub = jax.random.split(key)
-        u = jax.random.uniform(sub, (ctx.N,), ctx.dtype)
+        u = jax.random.uniform(sub, (ctx.N,), ctx.udtype)
         sigma = conf[:, l]
         if direction < 0:
             G = wrap_down(ctx, consts, sigma, G)
@@ -351,8 +378,9 @@ def sweep_pair(ctx, consts, state):
         if ctx.check_propagation_error:
             diff = jnp.max(jnp.abs(G - G_re))
             pem = jnp.where(first, pem, jnp.maximum(pem, diff))
-            pec = pec + jnp.where(first, 0, (diff > 1e-7)).astype(jnp.int64)
-        G = G_re
+            pec = pec + jnp.where(first, 0,
+                                  (diff > ctx.prop_err_threshold)).astype(jnp.int64)
+        G = G_re.astype(ctx.udtype)
         slices = jnp.arange(sm - 1, -1, -1) + j * sm       # descending
         G, conf, key, (acc, nneg) = _scan_slices(
             ctx, consts, G, conf, key, (acc, nneg), slices, direction=-1)
@@ -373,7 +401,7 @@ def sweep_pair(ctx, consts, state):
     # measurement point current_slice==1, direction==+1, DQMC.jl:425-436).
     lU, lD, lT = iU, iD, iT
     rU, rD, rT = S_U[0], S_D[0], S_T[0]
-    G = calculate_greens(lU, lD, lT, rU, rD, rT)           # G_eff(0)
+    G = calculate_greens(lU, lD, lT, rU, rD, rT).astype(ctx.udtype)  # G_eff(0)
     S_U = S_U.at[0].set(lU)
     S_D = S_D.at[0].set(lD)
     S_T = S_T.at[0].set(lT)
@@ -398,8 +426,8 @@ def sweep_pair(ctx, consts, state):
         if ctx.check_propagation_error:
             diff = jnp.max(jnp.abs(G - G_re))
             pem = jnp.maximum(pem, diff)
-            pec = pec + (diff > 1e-7).astype(jnp.int64)
-        G = G_re
+            pec = pec + (diff > ctx.prop_err_threshold).astype(jnp.int64)
+        G = G_re.astype(ctx.udtype)
         S_U = S_U.at[j].set(lU)
         S_D = S_D.at[j].set(lD)
         S_T = S_T.at[j].set(lT)

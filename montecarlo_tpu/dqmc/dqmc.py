@@ -53,7 +53,7 @@ class DQMC:
     """Determinant quantum Monte Carlo over a batch of independent chains."""
 
     def __init__(self, model, n_chains: int = 16, seed: int = 0,
-                 dtype=jnp.float64,
+                 dtype=jnp.float64, update_dtype=None,
                  measurements: str | Dict = "default",
                  thermalization_measurements: Optional[Dict] = None,
                  recorder=None, recording_rate: int = None,
@@ -67,7 +67,8 @@ class DQMC:
         self.a = self.analysis
         self.n_chains = int(n_chains)
         self.last_sweep = int(last_sweep)
-        self.ctx, self.consts = core.make_context(model, self.parameters, dtype)
+        self.ctx, self.consts = core.make_context(model, self.parameters, dtype,
+                                                  update_dtype=update_dtype)
 
         root = jax.random.PRNGKey(seed)
         init_key, sweep_key = jax.random.split(root)
@@ -206,7 +207,8 @@ class DQMC:
                 # (reference: generic.jl:240 + :279-294)
                 return jax.tree_util.tree_map(lambda x: x * dtau, acc)
 
-            accs = jax.vmap(per_chain)(conf_meas, G_meas, G_phys)
+            accs = jax.vmap(per_chain)(conf_meas,
+                                       G_meas.astype(self.ctx.dtype), G_phys)
             for k, m in comb:
                 new[k] = m.push(bstates[k], accs[k])
         return new
@@ -305,7 +307,8 @@ class DQMC:
                   f"probabilities (sign problem?)")
         if a.propagation_error.count > 0:
             print(f"[DQMC] {a.propagation_error.count} propagation "
-                  f"instabilities > 1e-7 (max {a.propagation_error.max:.2e})")
+                  f"instabilities > {self.ctx.prop_err_threshold:g} "
+                  f"(max {a.propagation_error.max:.2e})")
 
     def _timed_save(self, filename, verbose):
         from ..io.checkpoint import save

@@ -39,17 +39,20 @@ def udt_dirty(A):
       R    (..., n, n) upper triangular with unit-magnitude diagonal ("dirty T")
       piv  (..., n)    column permutation: A[..., :, piv] = U D R
 
-    Range safety: DQMC propagator products have entries spanning ~e^{±beta·W}
-    (1e±20 at beta=10). On TPU, float64 is emulated with double-float
-    arithmetic that has only float32 RANGE (~1e38), so the squared column
-    norms inside QR overflow. Fix: a SCALAR per-matrix max-abs prescale —
-    unlike per-column normalization it cannot disturb the graded structure
-    the stabilization relies on (every entry's relative precision is
-    unchanged), but it brings the largest entry to 1 so all norms fit.
-    The scale folds back into D."""
+    Range safety: DQMC propagator products have entries spanning up to
+    ~e^{±2 beta W} (46 decades at beta=10). On TPU, float64 is emulated with
+    double-float arithmetic that has only float32 RANGE (max ~3e38, subnormal
+    floor ~1e-45), so (a) squared column norms inside QR overflow, and (b) a
+    naive normalize-to-1 prescale pushes the small-scale columns below the
+    subnormal floor and flushes them to zero (NaN via 1/0). Fix: a SCALAR
+    power-of-two prescale that brings the largest entry to 2^50 (~1e15) —
+    norms-squared then peak at ~N·1e30 (safe) while the representable window
+    below still spans ~60 decades, more than any stabilized window needs.
+    Power-of-two scaling is exact, so per-column relative precision and the
+    graded structure are untouched; the scale folds back into D."""
     mx = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
     mx = jnp.maximum(mx, jnp.finfo(A.dtype).tiny)
-    mx = jnp.exp2(jnp.ceil(jnp.log2(mx)))  # power of two: scaling is exact
+    mx = jnp.exp2(jnp.ceil(jnp.log2(mx)) - 50.0)  # exact; max entry → ~2^50
     As = A / mx
     norms = jnp.linalg.norm(As, axis=-2)
     piv = jnp.argsort(-norms, axis=-1)

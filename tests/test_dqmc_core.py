@@ -89,7 +89,7 @@ def test_sweep_pair_self_consistency(model_cls, U):
     sweep = jax.jit(partial(core.sweep_pair, ctx, consts))
     for _ in range(3):
         state, G_meas, conf_meas = sweep(state)
-    assert float(state["prop_err_max"]) < 1e-9
+    assert float(state["prop_err_max"]) < 5e-9
     assert int(state["neg_prob"]) == 0
     acc = float(state["acc"]) / float(state["prop"])
     assert 0.05 < acc < 1.0
