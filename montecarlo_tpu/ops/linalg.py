@@ -59,8 +59,25 @@ def udt_dirty(A):
     Ap = jnp.take_along_axis(As, piv[..., None, :], axis=-1)
     Q, R = jnp.linalg.qr(Ap)
     d = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1).real)
-    d = jnp.maximum(d, jnp.finfo(d.dtype).tiny)
+    # Floor for flushed-to-zero residuals. On TPU the f64 'tiny' constant
+    # (2.2e-308) is itself below double-float range and silently becomes 0,
+    # so use a floor inside the f32 exponent window there: 2^-70 relative to
+    # the 2^50-normalized scale = 2^-120 of the matrix max — far beyond the
+    # ~2^-49 double-float precision, so no representable information is lost.
+    if jax.default_backend() in ("cpu", "gpu"):
+        floor = jnp.finfo(d.dtype).tiny
+    else:
+        floor = 2.0 ** -70
+    d = jnp.maximum(d, floor)
     Rs = R / d[..., :, None]
+    # rows whose residual flushed to zero have an all-zero R row; force the
+    # unit diagonal (mathematically Rs_ii = ±1) so triangular solves stay
+    # finite — those modes carry no representable information
+    n = Rs.shape[-1]
+    diag_vals = jnp.diagonal(Rs, axis1=-2, axis2=-1)
+    fixed = jnp.where(jnp.abs(diag_vals) < 0.5,
+                      jnp.ones_like(diag_vals), diag_vals)
+    Rs = Rs + (fixed - diag_vals)[..., :, None] * jnp.eye(n, dtype=Rs.dtype)
     d = d * mx[..., 0]
     return Q, d, Rs, piv
 
