@@ -93,3 +93,14 @@ def replay(mc, **kwargs):
     """Re-measure observables from recorded configurations
     (reference: `replay!`, src/flavors/MC/MC.jl:353, DQMC.jl:605)."""
     return mc.replay(**kwargs)
+
+
+def greens(mc, *args):
+    """Current physical equal-time Green's function of a DQMC simulation
+    (reference: greens(mc), src/flavors/DQMC/DQMC.jl:700-731)."""
+    return mc.greens(*args)
+
+
+def reset(mc):
+    """Reset measurements (reference: reset!, src/flavors/abstract.jl:34-44)."""
+    return mc.reset()

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ops.linalg import udt_dirty, scatter_columns, calculate_greens
+from ..ops.linalg import (udt_dirty, udt_well_conditioned, scatter_columns,
+                          calculate_greens)
 
 
 @dataclass(frozen=True)
@@ -61,6 +62,13 @@ class DQMCContext:
     # propagation-error check against prop_err_threshold).
     update_dtype: object = None
     prop_err_threshold: float = 1e-7
+    # stack stabilization method: "cholqr" (CholeskyQR2 on the well-conditioned
+    # window factor, MXU-friendly) or "qr" (Householder QR of the full graded
+    # product, the reference-equivalent path)
+    stab_method: str = "qr"
+    # use the fused Pallas site-sweep kernel for the hot path (requires the
+    # update dtype to be float32; falls back to the XLA loop otherwise)
+    use_pallas: bool = False
 
     @property
     def udtype(self):
@@ -76,6 +84,7 @@ class DQMCContext:
 
 
 def make_context(model, params, dtype=jnp.float64, update_dtype=None,
+                 stab_method: str = "qr", use_pallas: bool = False,
                  check_propagation_error: bool = None) -> Tuple[DQMCContext, dict]:
     """Build the static context + hopping matrix exponentials for a model.
 
@@ -102,7 +111,10 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     cpe = (params.check_propagation_error
            if check_propagation_error is None else check_propagation_error)
     mixed = update_dtype is not None and jnp.dtype(update_dtype) != jnp.dtype(dtype)
+    udt32 = jnp.dtype(update_dtype or dtype) == jnp.dtype(jnp.float32)
     ctx = DQMCContext(
+        stab_method=stab_method,
+        use_pallas=bool(use_pallas) and udt32,
         N=len(model.lattice), M=params.slices, sm=params.safe_mult,
         F=model.nflavors, lamb=model.lamb(dtau),
         det_power=2 // model.nflavors, use_boson=model.use_boson_weight,
@@ -198,7 +210,10 @@ def extend_left(ctx, consts, conf, j, U, D, T):
     for s in range(ctx.sm):
         l = j * ctx.sm + s
         curr = mult_B_left(ctx, consts, conf[:, l], curr)
-    u, d, r, piv = udt_dirty(curr * D[:, None, :])
+    if ctx.stab_method == "cholqr":
+        u, d, r, piv = udt_well_conditioned(curr, D)
+    else:
+        u, d, r, piv = udt_dirty(curr * D[:, None, :])
     Tnew = scatter_columns(r, piv) @ T
     return u, d, Tnew
 
@@ -210,7 +225,10 @@ def extend_right(ctx, consts, conf, j, U, D, T):
     for s in reversed(range(ctx.sm)):
         l = j * ctx.sm + s
         curr = mult_B_dagger_left(ctx, consts, conf[:, l], curr)
-    u, d, r, piv = udt_dirty(curr * D[:, None, :])
+    if ctx.stab_method == "cholqr":
+        u, d, r, piv = udt_well_conditioned(curr, D)
+    else:
+        u, d, r, piv = udt_dirty(curr * D[:, None, :])
     Tnew = scatter_columns(r, piv) @ T
     return u, d, Tnew
 
@@ -225,6 +243,12 @@ def sweep_slice(ctx, G, sigma, u):
     """Sequential Metropolis over all sites of one time slice with rank-1
     Green's updates per flavor block. G: (F,N,N), sigma: (N,), u: (N,) uniforms.
     Returns (G, sigma, n_accepted, n_negative_detratio)."""
+    if ctx.use_pallas:
+        from ..ops.pallas_site_sweep import site_sweep_pallas
+        G2, s2, acc, nneg = site_sweep_pallas(
+            G, sigma.astype(jnp.int32), u, lamb=ctx.lamb, signs=ctx.signs,
+            det_power=ctx.det_power, use_boson=ctx.use_boson)
+        return G2, s2.astype(sigma.dtype), acc, nneg
     ud = ctx.udtype
     signs = _signs(ctx, ud)
 

@@ -53,7 +53,7 @@ class DQMC:
     """Determinant quantum Monte Carlo over a batch of independent chains."""
 
     def __init__(self, model, n_chains: int = 16, seed: int = 0,
-                 dtype=jnp.float64, update_dtype=None,
+                 dtype=jnp.float64, update_dtype=None, use_pallas: bool = False,
                  measurements: str | Dict = "default",
                  thermalization_measurements: Optional[Dict] = None,
                  recorder=None, recording_rate: int = None,
@@ -68,7 +68,8 @@ class DQMC:
         self.n_chains = int(n_chains)
         self.last_sweep = int(last_sweep)
         self.ctx, self.consts = core.make_context(model, self.parameters, dtype,
-                                                  update_dtype=update_dtype)
+                                                  update_dtype=update_dtype,
+                                                  use_pallas=use_pallas)
 
         root = jax.random.PRNGKey(seed)
         init_key, sweep_key = jax.random.split(root)
@@ -105,6 +106,15 @@ class DQMC:
     @property
     def conf(self):
         return self.state["conf"]
+
+    def reset(self):
+        """Rebuild all measurement binners (reference: reset!,
+        src/flavors/abstract.jl:34-44)."""
+        for registry in (self.measurements, self.thermalization_measurements):
+            for k, meas in registry.measurements.items():
+                registry.states[k] = meas.bind(self.n_chains)
+        self.last_sweep = 0
+        return self
 
     def __setitem__(self, key, measurement):
         """mc[key] = measurement sugar (reference: push!,

@@ -103,6 +103,15 @@ class MC:
 
         self._block_fns = {}
 
+    def reset(self):
+        """Rebuild all measurement binners (reference: reset!,
+        src/flavors/abstract.jl:34-44)."""
+        for registry in (self.measurements, self.thermalization_measurements):
+            for k, meas in registry.measurements.items():
+                registry.states[k] = meas.bind(self.n_chains)
+        self.last_sweep = 0
+        return self
+
     def __setitem__(self, key, measurement):
         """mc[key] = measurement sugar (reference: push!,
         src/Measurements.jl:392-508)."""
