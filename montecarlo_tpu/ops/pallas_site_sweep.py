@@ -34,8 +34,9 @@ except Exception:  # pragma: no cover
 
 def _kernel(lamb, signs, det_power, use_boson, N, F,
             sigma_ref, u_ref, G_ref, sigma_out, G_out, acc_out, nneg_out):
-    sigma0 = sigma_ref[...]                      # (N,) int32
-    u = u_ref[...]                               # (N,)
+    # operands are 2D-ified ((1, N) rows) to satisfy Mosaic block constraints
+    sigma0 = sigma_ref[0, :]                     # (N,) int32
+    u = u_ref[0, :]                              # (N,)
     G0 = G_ref[...]                              # (F, N, N)
 
     def body(i, carry):
@@ -67,9 +68,9 @@ def _kernel(lamb, signs, det_power, use_boson, N, F,
     G, sigma, acc, nneg = lax.fori_loop(
         0, N, body, (G0, sigma0, jnp.int32(0), jnp.int32(0)))
     G_out[...] = G
-    sigma_out[...] = sigma
-    acc_out[0] = acc
-    nneg_out[0] = nneg
+    sigma_out[0, :] = sigma
+    acc_out[0, 0] = acc
+    nneg_out[0, 0] = nneg
 
 
 @functools.partial(jax.jit, static_argnames=("lamb", "signs", "det_power",
@@ -85,10 +86,10 @@ def site_sweep_pallas(G, sigma, u, *, lamb, signs, det_power, use_boson):
         kern,
         interpret=interpret,
         out_shape=[
-            jax.ShapeDtypeStruct((N,), sigma.dtype),
+            jax.ShapeDtypeStruct((1, N), sigma.dtype),
             jax.ShapeDtypeStruct((F, N, N), G.dtype),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
-    )(sigma, u, G)
-    return G_out, sigma_out, acc[0], nneg[0]
+    )(sigma[None, :], u[None, :], G)
+    return G_out, sigma_out[0], acc[0, 0], nneg[0, 0]

@@ -20,6 +20,27 @@ ATOL = 2 * 0.1 ** 2
 
 
 @pytest.mark.slow
+def test_f32_sm1_vs_ed():
+    """Full-float32 with per-slice stabilization (the TPU-native fast mode,
+    bench default) passes the ED gate."""
+    model = HubbardModelAttractive(dims=2, L=2, U=1.0, mu=1.0, t=1.0)
+    ed = EDSolution(model.lattice, t=1.0, U=1.0, mu=1.0, attractive=True)
+    mc = DQMC(model, beta=1.0, delta_tau=0.1, safe_mult=1, n_chains=32,
+              seed=13, dtype=jnp.float32,
+              thermalization=300, sweeps=1500, measure_rate=3,
+              print_rate=10 ** 9, measurements={})
+    mc.measurements.add("G", dm.greens_measurement(mc, model), mc.n_chains)
+    mc.measurements.add("CDC", dm.charge_density_correlation(mc, model),
+                        mc.n_chains)
+    assert mc.run(verbose=False)
+    obs = mc.observables()
+    G = obs["G"]["greens"].mean[0]
+    assert np.max(np.abs(G - ed.greens_spin(1.0, 0, 0))) < ATOL
+    assert np.max(np.abs(obs["CDC"]["cdc"].mean -
+                         ed.cdc_by_distance(1.0))) < ATOL
+
+
+@pytest.mark.slow
 def test_mixed_precision_vs_ed():
     model = HubbardModelAttractive(dims=2, L=2, U=1.0, mu=1.0, t=1.0)
     ed = EDSolution(model.lattice, t=1.0, U=1.0, mu=1.0, attractive=True)
