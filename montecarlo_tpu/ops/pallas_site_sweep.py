@@ -7,18 +7,25 @@ site -> ~10^5 dispatches per sweep, making the hot path latency-bound. This
 kernel runs the WHOLE site loop for one chain inside VMEM: G resident
 on-chip, rank-1 updates as VPU outer products, no HBM traffic between sites.
 
-float32 only (the mixed-precision / f32 hot path — f64 is not supported by
-Mosaic); the f64 UDT stabilization outside resets the drift every safe_mult
-slices.
+float32 only (the f32 / mixed-precision hot path — f64 is not supported by
+Mosaic); the UDT stabilization outside resets drift every safe_mult slices.
 
-Written per-chain (no grid): the chain batch is added by `vmap`, which lifts
-the call into a grid dimension. Verified bit-exact against the XLA
-`core.sweep_slice` path in interpreter mode for both Hubbard models.
+Mosaic constraints honored: dynamic indexing only through refs (G lives in
+the output ref and is updated in place), operands 2D-ified so vmap-lifted
+blocks satisfy the (8, 128)-or-full tiling rule. Written per-chain (no
+grid): the chain batch is added by `vmap`. Verified bit-exact against the
+XLA `core.sweep_slice` path in interpreter mode.
 """
 
 from __future__ import annotations
 
 import functools
+import sys
+
+# the kernel is traced inside already-deep scan nests (segments → slices →
+# pallas); the default 1000-frame recursion limit is not enough
+if sys.getrecursionlimit() < 10000:
+    sys.setrecursionlimit(10000)
 
 import jax
 import jax.numpy as jnp
@@ -34,41 +41,43 @@ except Exception:  # pragma: no cover
 
 def _kernel(lamb, signs, det_power, use_boson, N, F,
             sigma_ref, u_ref, G_ref, sigma_out, G_out, acc_out, nneg_out):
-    # operands are 2D-ified ((1, N) rows) to satisfy Mosaic block constraints
-    sigma0 = sigma_ref[0, :]                     # (N,) int32
-    u = u_ref[0, :]                              # (N,)
-    G0 = G_ref[...]                              # (F, N, N)
+    # G and sigma live in the OUTPUT refs so the site loop can index them
+    # dynamically (Mosaic only supports dynamic slicing through refs)
+    G_out[...] = G_ref[...]
+    sigma_out[...] = sigma_ref[...]
 
     def body(i, carry):
-        G, sigma, acc, nneg = carry
-        s = sigma[i].astype(jnp.float32)
+        acc, nneg = carry
+        s = sigma_out[0, i].astype(jnp.float32)
         dEb = jnp.float32(-2.0 * lamb) * s
-        # signs is a static python tuple — unrolled so the kernel captures no
-        # constant arrays
+        # signs is a static python tuple — unrolled, no captured constants
         delta = jnp.stack([jnp.exp(jnp.float32(sg) * dEb) - 1.0
                            for sg in signs])                           # (F,)
-        row_i = lax.dynamic_slice_in_dim(G, i, 1, axis=1)              # (F,1,N)
-        col_i = lax.dynamic_slice_in_dim(G, i, 1, axis=2)              # (F,N,1)
-        gii = lax.dynamic_slice_in_dim(row_i, i, 1, axis=2)[:, 0, 0]   # (F,)
+        row_i = G_out[:, i, :]                                         # (F,N)
+        col_i = G_out[:, :, i]                                         # (F,N)
+        gii = G_out[:, i, i]                                           # (F,)
         r = 1.0 + delta * (1.0 - gii)
-        detratio = jnp.prod(r) ** det_power
+        # static unroll (Mosaic has no reduce_prod): F is 1 or 2
+        rprod = r[0]
+        for f in range(1, len(signs)):
+            rprod = rprod * r[f]
+        detratio = rprod ** det_power
         w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
         p = w * detratio
-        accept = u[i] < p
+        accept = u_ref[0, i] < p
         nneg = nneg + (detratio < 0).astype(jnp.int32)
         x = jnp.where(accept, delta / r, jnp.zeros_like(r))            # (F,)
         onehot = (lax.broadcasted_iota(jnp.int32, (N, 1), 0) == i
-                  ).astype(jnp.float32)                                # (N,1)
-        IG = onehot[None, :, :] - col_i                                # (F,N,1)
-        G = G - x[:, None, None] * (IG * row_i)
-        sigma = sigma.at[i].set(jnp.where(accept, -sigma[i], sigma[i]))
+                  ).astype(jnp.float32)[:, 0]                          # (N,)
+        IG = onehot[None, :] - col_i                                   # (F,N)
+        G_out[...] = (G_out[...]
+                      - (x[:, None] * IG)[:, :, None] * row_i[:, None, :])
+        sigma_out[0, i] = jnp.where(accept, -sigma_out[0, i],
+                                    sigma_out[0, i])
         acc = acc + accept.astype(jnp.int32)
-        return (G, sigma, acc, nneg)
+        return (acc, nneg)
 
-    G, sigma, acc, nneg = lax.fori_loop(
-        0, N, body, (G0, sigma0, jnp.int32(0), jnp.int32(0)))
-    G_out[...] = G
-    sigma_out[0, :] = sigma
+    acc, nneg = lax.fori_loop(0, N, body, (jnp.int32(0), jnp.int32(0)))
     acc_out[0, 0] = acc
     nneg_out[0, 0] = nneg
 

@@ -1,0 +1,56 @@
+"""Pallas fused site-sweep kernel vs the XLA reference path
+(interpreter mode on CPU; compiled Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlo_tpu import DQMC, HubbardModelAttractive, HubbardModelRepulsive
+from montecarlo_tpu.dqmc import core
+from montecarlo_tpu.dqmc.parameters import DQMCParameters
+from montecarlo_tpu.ops import pallas_site_sweep as pss
+
+
+@pytest.mark.parametrize("model_cls", [HubbardModelAttractive,
+                                       HubbardModelRepulsive])
+def test_pallas_matches_xla_sweep(model_cls):
+    if model_cls is HubbardModelAttractive:
+        model = model_cls(dims=2, L=4, U=4.0, mu=0.0)
+    else:
+        model = model_cls(dims=2, L=4, U=4.0)
+    params = DQMCParameters(beta=2.0)
+    ctx, consts = core.make_context(model, params, update_dtype=jnp.float32)
+    C, N, F = 3, ctx.N, ctx.F
+    rng = np.random.default_rng(0)
+    G = jnp.asarray(rng.normal(size=(C, F, N, N)) * 0.2 + 0.5 * np.eye(N),
+                    jnp.float32)
+    sigma = jnp.asarray(rng.choice([-1, 1], size=(C, N)), jnp.int32)
+    u = jnp.asarray(rng.uniform(size=(C, N)), jnp.float32)
+
+    G2, s2, acc, nneg = jax.vmap(lambda g, s, uu: pss.site_sweep_pallas(
+        g, s, uu, lamb=ctx.lamb, signs=ctx.signs,
+        det_power=ctx.det_power, use_boson=ctx.use_boson))(G, sigma, u)
+    Gr, sr, accr, nnegr = jax.vmap(
+        lambda g, s, uu: core.sweep_slice(ctx, g, s.astype(jnp.int8), uu)
+    )(G, sigma, u)
+    assert np.max(np.abs(np.asarray(G2 - Gr))) < 1e-5
+    assert np.array_equal(np.asarray(s2), np.asarray(sr, dtype=np.int32))
+    assert np.array_equal(np.asarray(acc), np.asarray(accr))
+
+
+def test_pallas_dqmc_end_to_end():
+    """Full DQMC run with use_pallas must match the plain f32 run exactly in
+    distribution (same RNG stream -> same trajectories up to f32 op order)."""
+    def run(use_pallas):
+        model = HubbardModelAttractive(dims=2, L=2, U=2.0, mu=0.0)
+        mc = DQMC(model, beta=1.0, n_chains=4, seed=5, dtype=jnp.float32,
+                  use_pallas=use_pallas, thermalization=10, sweeps=40,
+                  measure_rate=2, print_rate=10 ** 9)
+        assert mc.run(verbose=False, chunk=25)
+        return mc.observables()["occ"]["occ"].mean.mean()
+
+    occ_p = run(True)
+    occ_x = run(False)
+    assert abs(occ_p - 0.5) < 0.1
+    assert abs(occ_p - occ_x) < 0.05
