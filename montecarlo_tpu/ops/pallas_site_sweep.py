@@ -24,8 +24,8 @@ import sys
 
 # the kernel is traced inside already-deep scan nests (segments → slices →
 # pallas); the default 1000-frame recursion limit is not enough
-if sys.getrecursionlimit() < 10000:
-    sys.setrecursionlimit(10000)
+if sys.getrecursionlimit() < 100000:
+    sys.setrecursionlimit(100000)
 
 import jax
 import jax.numpy as jnp
