@@ -44,7 +44,13 @@ def _kernel(lamb, signs, det_power, use_boson, N, F,
     # G and sigma live in the OUTPUT refs so the site loop can index them
     # dynamically (Mosaic only supports dynamic slicing through refs)
     G_out[...] = G_ref[...]
-    sigma_out[...] = sigma_ref[...]
+
+    # sigma sits in SMEM where only scalar accesses are legal: copy entrywise
+    def copy_body(k, carry):
+        sigma_out[0, k] = sigma_ref[0, k]
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(N), copy_body, jnp.int32(0))
 
     def body(i, carry):
         acc, nneg = carry
@@ -53,9 +59,13 @@ def _kernel(lamb, signs, det_power, use_boson, N, F,
         # signs is a static python tuple — unrolled, no captured constants
         delta = jnp.stack([jnp.exp(jnp.float32(sg) * dEb) - 1.0
                            for sg in signs])                           # (F,)
+        onehot = jnp.where(lax.broadcasted_iota(jnp.int32, (N, 1), 0) == i,
+                           jnp.float32(1.0), jnp.float32(0.0))[:, 0]   # (N,)
         row_i = G_out[:, i, :]                                         # (F,N)
-        col_i = G_out[:, :, i]                                         # (F,N)
-        gii = G_out[:, i, i]                                           # (F,)
+        # dynamic LANE indexing (G[:, :, i]) crashes the Mosaic compiler —
+        # extract the column and the diagonal entry with onehot contractions
+        col_i = jnp.sum(G_out[...] * onehot[None, None, :], axis=2)    # (F,N)
+        gii = jnp.sum(row_i * onehot[None, :], axis=1)                 # (F,)
         r = 1.0 + delta * (1.0 - gii)
         # static unroll (Mosaic has no reduce_prod): F is 1 or 2
         rprod = r[0]
@@ -65,19 +75,23 @@ def _kernel(lamb, signs, det_power, use_boson, N, F,
         w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
         p = w * detratio
         accept = u_ref[0, i] < p
-        nneg = nneg + (detratio < 0).astype(jnp.int32)
+        # NOTE: bool→numeric astype hits an infinite recursion in the Mosaic
+        # convert_element_type lowering — use where() instead
+        nneg = nneg + jnp.where(detratio < 0, jnp.int32(1), jnp.int32(0))
         x = jnp.where(accept, delta / r, jnp.zeros_like(r))            # (F,)
-        onehot = (lax.broadcasted_iota(jnp.int32, (N, 1), 0) == i
-                  ).astype(jnp.float32)[:, 0]                          # (N,)
         IG = onehot[None, :] - col_i                                   # (F,N)
         G_out[...] = (G_out[...]
                       - (x[:, None] * IG)[:, :, None] * row_i[:, None, :])
         sigma_out[0, i] = jnp.where(accept, -sigma_out[0, i],
                                     sigma_out[0, i])
-        acc = acc + accept.astype(jnp.int32)
+        acc = acc + jnp.where(accept, jnp.int32(1), jnp.int32(0))
         return (acc, nneg)
 
-    acc, nneg = lax.fori_loop(0, N, body, (jnp.int32(0), jnp.int32(0)))
+    # 32-bit loop bounds: under jax_enable_x64 a python-int fori index is
+    # int64, and int32->int64 conversion infinitely recurses in the Mosaic
+    # lowering fallback
+    acc, nneg = lax.fori_loop(jnp.int32(0), jnp.int32(N), body,
+                              (jnp.int32(0), jnp.int32(0)))
     acc_out[0, 0] = acc
     nneg_out[0, 0] = nneg
 
@@ -91,9 +105,24 @@ def site_sweep_pallas(G, sigma, u, *, lamb, signs, det_power, use_boson):
     kern = functools.partial(_kernel, float(lamb), tuple(signs),
                              int(det_power), bool(use_boson), N, F)
     interpret = jax.default_backend() == "cpu"  # CPU: interpreter fallback
+    # sigma / uniforms / counters live in SMEM (scalar loads+stores are only
+    # legal there); G stays in VMEM
+    smem = {} if interpret else {"memory_space": pltpu.SMEM}
+    vmem = {} if interpret else {"memory_space": pltpu.VMEM}
     sigma_out, G_out, acc, nneg = pl.pallas_call(
         kern,
         interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(**smem),
+            pl.BlockSpec(**smem),
+            pl.BlockSpec(**vmem),
+        ],
+        out_specs=[
+            pl.BlockSpec(**smem),
+            pl.BlockSpec(**vmem),
+            pl.BlockSpec(**smem),
+            pl.BlockSpec(**smem),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((1, N), sigma.dtype),
             jax.ShapeDtypeStruct((F, N, N), G.dtype),
