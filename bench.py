@@ -73,14 +73,16 @@ def bench_dqmc():
 def bench_ising():
     from montecarlo_tpu import MC, IsingModel
 
+    # Ising sweeps are tiny; use a large chain batch to amortize step latency
+    chains = int(os.environ.get("BENCH_ISING_CHAINS", "8192"))
     model = IsingModel(dims=2, L=L)
-    mc = MC(model, beta=0.44, n_chains=N_CHAINS, seed=0, sweeps=50,
+    mc = MC(model, beta=0.44, n_chains=chains, seed=0, sweeps=50,
             thermalization=0, measure_rate=10 ** 9, measurements={})
-    mc.run(sweeps=10, verbose=False, chunk=10)  # compile
+    mc.run(sweeps=100, verbose=False, chunk=100)  # compile + warmup
     t0 = time.time()
-    mc.run(sweeps=210, verbose=False, chunk=100)
+    mc.run(sweeps=300, verbose=False, chunk=100)
     dt = time.time() - t0
-    flips = 200 * N_CHAINS * L * L  # attempted spin flips
+    flips = 200 * chains * L * L  # attempted spin flips
     return flips / dt
 
 
