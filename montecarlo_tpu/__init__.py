@@ -62,6 +62,10 @@ _EXPORTS = {
     "pairing_correlation": "measurements",
     "pairing_susceptibility": "measurements",
     "current_current_susceptibility": "measurements",
+    "Greens": "measurements", "GreensAt": "measurements",
+    "CombinedGreensIterator": "measurements",
+    "charge_density": "measurements", "spin_density": "measurements",
+    "pairing": "measurements",
     "fourier_transform": "measurements.postprocessing",
     "structure_factor": "measurements.postprocessing",
     "uniform_fourier": "measurements.postprocessing",
@@ -104,3 +108,33 @@ def greens(mc, *args):
 def reset(mc):
     """Reset measurements (reference: reset!, src/flavors/abstract.jl:34-44)."""
     return mc.reset()
+
+
+def measurements(mc, stage="ME"):
+    """Measurement registry of a simulation (reference: measurements(mc),
+    src/Measurements.jl:265-303)."""
+    return (mc.measurements if stage == "ME"
+            else mc.thermalization_measurements)
+
+
+def observables(mc, stage="ME"):
+    """All observable results (reference: observables(mc),
+    src/Measurements.jl:303-367)."""
+    return mc.observables(stage)
+
+
+def lattice(model_or_mc):
+    """(reference: lattice accessor)."""
+    obj = getattr(model_or_mc, "model", model_or_mc)
+    return obj.lattice
+
+
+def model(mc):
+    return mc.model
+
+
+def parameters(mc):
+    """(reference: parameters(mc) merges flavor and model parameters)."""
+    out = dict(mc.parameters.as_dict())
+    out.update(mc.model.parameters())
+    return out

@@ -28,6 +28,26 @@ import numpy as np
 from .core import Measurement
 
 
+class Greens:
+    """Marker: measurement needs the equal-time Green's function
+    (reference: src/flavors/DQMC/measurements/generic.jl:108-110)."""
+
+
+class GreensAt:
+    """Marker factory: measurement needs G(k, l)
+    (reference: GreensAt{k,l}, generic.jl:111-114). Use
+    greens_measurement(mc, model, greens_at=(k, l))."""
+
+    def __init__(self, k, l):
+        self.kl = (int(k), int(l))
+
+
+class CombinedGreensIterator:
+    """Marker: measurement integrates over (G(0,l), G(l,0), G(l,l))
+    (reference: unequal_time_stack.jl:746+). Susceptibility constructors use
+    this implicitly (Measurement.kind == "combined")."""
+
+
 def _blocks(G):
     """(G_up, G_dn) views of a (F, N, N) Green's function."""
     return G[0], G[-1]
@@ -378,3 +398,25 @@ def pairing_correlation(mc, model, K: int = None, **kwargs) -> Measurement:
         return {"pc": jax.vmap(per_chain)(greens)}
 
     return Measurement("pairing_correlation", {"pc": (n_dirs, K, K)}, measure)
+
+
+def charge_density(mc, model, greens_iterator=Greens, **kwargs):
+    """Dispatch on the required Green's function (reference: charge_density,
+    measurements.jl:48-56)."""
+    if greens_iterator is Greens:
+        return charge_density_correlation(mc, model, **kwargs)
+    return charge_density_susceptibility(mc, model, **kwargs)
+
+
+def spin_density(mc, model, dir, greens_iterator=Greens, **kwargs):
+    """(reference: spin_density, measurements.jl:131-146)."""
+    if greens_iterator is Greens:
+        return spin_density_correlation(mc, model, dir, **kwargs)
+    return spin_density_susceptibility(mc, model, dir, **kwargs)
+
+
+def pairing(mc, model, greens_iterator=Greens, **kwargs):
+    """(reference: pairing, measurements.jl:199-207)."""
+    if greens_iterator is Greens:
+        return pairing_correlation(mc, model, **kwargs)
+    return pairing_susceptibility(mc, model, **kwargs)
