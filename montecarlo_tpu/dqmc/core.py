@@ -36,8 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ops.linalg import (udt_dirty, udt_well_conditioned, scatter_columns,
-                          calculate_greens)
+from ..ops.linalg import (udt_dirty, udt_dirty_colscaled, udt_well_conditioned,
+                          scatter_columns, calculate_greens)
 
 
 @dataclass(frozen=True)
@@ -62,13 +62,20 @@ class DQMCContext:
     # propagation-error check against prop_err_threshold).
     update_dtype: object = None
     prop_err_threshold: float = 1e-7
-    # stack stabilization method: "cholqr" (CholeskyQR2 on the well-conditioned
-    # window factor, MXU-friendly) or "qr" (Householder QR of the full graded
-    # product, the reference-equivalent path)
+    # stack stabilization method: "qr" (Householder QR of the full graded
+    # product, the reference-equivalent path), "qr_colscaled" (per-column
+    # scaled QR — flush-proof at any beta in float32) or "cholqr"
+    # (CholeskyQR2 on the window factor)
     stab_method: str = "qr"
     # use the fused Pallas site-sweep kernel for the hot path (requires the
     # update dtype to be float32; falls back to the XLA loop otherwise)
     use_pallas: bool = False
+
+    @property
+    def greens_udt_fn(self):
+        from ..ops.linalg import udt_dirty, udt_dirty_colscaled
+        return (udt_dirty_colscaled if self.stab_method == "qr_colscaled"
+                else udt_dirty)
 
     @property
     def udtype(self):
@@ -212,6 +219,8 @@ def extend_left(ctx, consts, conf, j, U, D, T):
         curr = mult_B_left(ctx, consts, conf[:, l], curr)
     if ctx.stab_method == "cholqr":
         u, d, r, piv = udt_well_conditioned(curr, D)
+    elif ctx.stab_method == "qr_colscaled":
+        u, d, r, piv = udt_dirty_colscaled(curr * D[:, None, :])
     else:
         u, d, r, piv = udt_dirty(curr * D[:, None, :])
     Tnew = scatter_columns(r, piv) @ T
@@ -227,6 +236,8 @@ def extend_right(ctx, consts, conf, j, U, D, T):
         curr = mult_B_dagger_left(ctx, consts, conf[:, l], curr)
     if ctx.stab_method == "cholqr":
         u, d, r, piv = udt_well_conditioned(curr, D)
+    elif ctx.stab_method == "qr_colscaled":
+        u, d, r, piv = udt_dirty_colscaled(curr * D[:, None, :])
     else:
         u, d, r, piv = udt_dirty(curr * D[:, None, :])
     Tnew = scatter_columns(r, piv) @ T
@@ -398,7 +409,8 @@ def sweep_pair(ctx, consts, state):
         S_U = S_U.at[j + 1].set(rU)
         S_D = S_D.at[j + 1].set(rD)
         S_T = S_T.at[j + 1].set(rT)
-        G_re = calculate_greens(lU, lD, lT, rU, rD, rT)   # G_eff((j+1)*sm)
+        G_re = calculate_greens(lU, lD, lT, rU, rD, rT,
+                                ctx.greens_udt_fn)   # G_eff((j+1)*sm)
         if ctx.check_propagation_error:
             diff = jnp.max(jnp.abs(G - G_re))
             pem = jnp.where(first, pem, jnp.maximum(pem, diff))
@@ -425,7 +437,8 @@ def sweep_pair(ctx, consts, state):
     # measurement point current_slice==1, direction==+1, DQMC.jl:425-436).
     lU, lD, lT = iU, iD, iT
     rU, rD, rT = S_U[0], S_D[0], S_T[0]
-    G = calculate_greens(lU, lD, lT, rU, rD, rT).astype(ctx.udtype)  # G_eff(0)
+    G = calculate_greens(lU, lD, lT, rU, rD, rT,
+                         ctx.greens_udt_fn).astype(ctx.udtype)  # G_eff(0)
     S_U = S_U.at[0].set(lU)
     S_D = S_D.at[0].set(lD)
     S_T = S_T.at[0].set(lT)
@@ -446,7 +459,8 @@ def sweep_pair(ctx, consts, state):
     def up_body(carry, j):
         S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec = carry
         rU, rD, rT = S_U[j], S_D[j], S_T[j]
-        G_re = calculate_greens(lU, lD, lT, rU, rD, rT)    # G_eff(j*sm)
+        G_re = calculate_greens(lU, lD, lT, rU, rD, rT,
+                                ctx.greens_udt_fn)    # G_eff(j*sm)
         if ctx.check_propagation_error:
             diff = jnp.max(jnp.abs(G - G_re))
             pem = jnp.maximum(pem, diff)
@@ -515,4 +529,4 @@ def greens_from_scratch(ctx, consts, conf, slice_idx: int):
             rT = scatter_columns(r, piv) @ rT
             rU, rD = u, d
             curr = rU
-    return calculate_greens(lU, lD, lT, rU, rD, rT)
+    return calculate_greens(lU, lD, lT, rU, rD, rT, ctx.greens_udt_fn)

@@ -54,6 +54,7 @@ class DQMC:
 
     def __init__(self, model, n_chains: int = 16, seed: int = 0,
                  dtype=jnp.float64, update_dtype=None, use_pallas: bool = False,
+                 stab_method: str = "qr",
                  measurements: str | Dict = "default",
                  thermalization_measurements: Optional[Dict] = None,
                  recorder=None, recording_rate: int = None,
@@ -69,7 +70,8 @@ class DQMC:
         self.last_sweep = int(last_sweep)
         self.ctx, self.consts = core.make_context(model, self.parameters, dtype,
                                                   update_dtype=update_dtype,
-                                                  use_pallas=use_pallas)
+                                                  use_pallas=use_pallas,
+                                                  stab_method=stab_method)
 
         root = jax.random.PRNGKey(seed)
         init_key, sweep_key = jax.random.split(root)

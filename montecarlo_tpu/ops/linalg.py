@@ -82,6 +82,35 @@ def udt_dirty(A):
     return Q, d, Rs, piv
 
 
+def udt_dirty_colscaled(A):
+    """Per-COLUMN-scaled variant of udt_dirty for exponent-range-limited
+    arithmetic (float32 / TPU double-float): every column is normalized before
+    the QR so no column can overflow or flush to zero regardless of beta.
+    The scales fold into D (products) and into T (ratios s_j/s_i, bounded on
+    the upper triangle by the descending pivot order).
+
+    Tradeoff vs the scalar-prescale udt_dirty: normalization erases the
+    scale grading the QR otherwise exploits, costing a few digits on
+    extremely degenerate spectra (~1e-2 at beta=40 in f64 experiments) —
+    irrelevant at float32 precision, where it is the only scheme whose
+    intermediate quantities can never leave the representable window."""
+    m = jnp.maximum(jnp.max(jnp.abs(A), axis=-2), jnp.finfo(A.dtype).tiny)
+    s = m * jnp.linalg.norm(A / m[..., None, :], axis=-2)
+    s = jnp.maximum(s, jnp.finfo(A.dtype).tiny)
+    piv = jnp.argsort(-s, axis=-1)
+    sp = jnp.take_along_axis(s, piv, axis=-1)
+    Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1) / sp[..., None, :]
+    Q, R = jnp.linalg.qr(Ap)
+    dhat = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1).real)
+    dhat = jnp.maximum(dhat, jnp.finfo(dhat.dtype).eps ** 2)
+    d = dhat * sp
+    n = R.shape[-1]
+    mask = jnp.triu(jnp.ones((n, n), bool))
+    ratio = jnp.where(mask, sp[..., None, :], 0.0) / sp[..., :, None]
+    Rs = (R / dhat[..., :, None]) * ratio
+    return Q, d, Rs, piv
+
+
 def udt(A):
     """A = U · diag(D) · T with T fully formed (pivot applied)."""
     U, D, R, piv = udt_dirty(A)
@@ -104,7 +133,7 @@ def rdiv_dirty(A, R, piv):
     return lax.linalg.triangular_solve(R, Ap, left_side=False, lower=False)
 
 
-def calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr):
+def calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr, udt_fn=None):
     """G = [I + Ul·diag(Dl)·Tl · Tr†·diag(Dr)·Ur†]^{-1}.
 
     Range-safe Dmax/Dmin-split algebra. The reference's 6-step equal-time
@@ -130,7 +159,7 @@ def calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr):
     X = Tl @ _adj(Tr)
     M = (_adj(Ul) @ Ur) / Dlp[..., :, None] / Drp[..., None, :]
     M = M + (Dlm[..., :, None] * X) * Drm[..., None, :]
-    u, d, r, piv = udt_dirty(M)
+    u, d, r, piv = (udt_fn or udt_dirty)(M)
     # G = (Ur/Drp) · t^{-1} · d^{-1} · u† · (Dlp^{-1}·Ul†)
     Z = rdiv_dirty(Ur / Drp[..., None, :], r, piv)
     Z = Z / d[..., None, :]
