@@ -31,15 +31,16 @@ N_CHAINS = int(os.environ.get("BENCH_CHAINS", "256"))
 L = int(os.environ.get("BENCH_L", "8"))
 BETA = float(os.environ.get("BENCH_BETA", "10.0"))
 SWEEPS = int(os.environ.get("BENCH_SWEEPS", "6"))
-# Default configuration: full-float32 propagation with per-slice UDT
-# restabilization (safe_mult=1). This is the TPU-native operating point:
-# physics-validated (ED gate at beta=1: G err 0.0025 << 0.02; half-filling
-# occupation on-device at beta=10: 0.5028 +- 0.0047) and ~11x faster than
-# emulated float64. Set BENCH_DTYPE=float64 BENCH_SAFE_MULT=10 for the
-# conservative high-precision mode (also physics-validated on device).
+# Default configuration: full-float32 propagation, safe_mult=5, and
+# full-precision f32 matmuls (set inside the library; TPU would otherwise
+# lower f32 matmuls to single bfloat16 MXU passes, whose wrap drift biases
+# the chain). Physics-validated on device: 8x8 beta=10 half-filling
+# occupation 0.4971 +- 0.0042; ED gate at beta=1. safe_mult=10 reaches
+# ~1355 sweeps/s with equally unbiased occupation but noisier drift tails;
+# BENCH_DTYPE=float64 BENCH_SAFE_MULT=10 is the conservative mode.
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 SAFE_MULT = int(os.environ.get("BENCH_SAFE_MULT",
-                               "1" if DTYPE == "float32" else "10"))
+                               "5" if DTYPE == "float32" else "10"))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 
 
@@ -94,7 +95,7 @@ def main():
         ising_flips = None
     # f32 drift within a window is reset at every stabilization; the sanity
     # band reflects each mode's validated envelope
-    ok = (prop_err < (1e-6 if DTYPE == "float64" else 1e5)) and 0.3 < acc < 0.95
+    ok = (prop_err < (1e-6 if DTYPE == "float64" else 1e3)) and 0.3 < acc < 0.95
     print(json.dumps({
         "metric": f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
                   f"{N_CHAINS} chains)",

@@ -27,6 +27,7 @@ all matrices; the hopping part is flavor-independent and broadcasts.
 from __future__ import annotations
 
 import math
+from contextlib import nullcontext
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -70,6 +71,18 @@ class DQMCContext:
     # use the fused Pallas site-sweep kernel for the hot path (requires the
     # update dtype to be float32; falls back to the XLA loop otherwise)
     use_pallas: bool = False
+
+    def matmul_precision(self):
+        """Trace-time matmul precision context. TPU lowers float32 matmuls
+        to SINGLE bfloat16 MXU passes by default (~8-bit mantissa) — enough to
+        bias the Markov chain through wrap drift; force the full-precision
+        multi-pass mode whenever any float32 propagation is involved. No-op
+        for float64 (emulation is already exact at its precision) and on CPU.
+        """
+        f32 = jnp.dtype(jnp.float32)
+        if jnp.dtype(self.udtype) == f32 or jnp.dtype(self.dtype) == f32:
+            return jax.default_matmul_precision("highest")
+        return nullcontext()
 
     @property
     def greens_udt_fn(self):
@@ -304,6 +317,8 @@ def init_state(ctx, consts, conf, key):
     S_U = jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype)
     S_D = jnp.zeros((n_el, ctx.F, ctx.N), ctx.dtype)
     S_T = jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype)
+    _prec = ctx.matmul_precision()
+    _prec.__enter__()
 
     def seg(carry, j):
         S_U, S_D, S_T, U, D, T = carry
@@ -319,6 +334,7 @@ def init_state(ctx, consts, conf, key):
     S_U = S_U.at[ctx.n_seg].set(U)
     S_D = S_D.at[ctx.n_seg].set(D)
     S_T = S_T.at[ctx.n_seg].set(T)
+    _prec.__exit__(None, None, None)
     return {
         "conf": conf,
         "S_U": S_U, "S_D": S_D, "S_T": S_T,
@@ -372,6 +388,8 @@ def sweep_pair(ctx, consts, state):
     reference's measurement point (current_slice==1, direction==+1, after the
     slice-0 site updates — DQMC.jl:425-436); time-displaced measurements must
     use conf_meas, not the end-of-sweep conf."""
+    _prec = ctx.matmul_precision()
+    _prec.__enter__()
     conf = state["conf"]
     key = state["key"]
     S_U, S_D, S_T = state["S_U"], state["S_D"], state["S_T"]
@@ -488,6 +506,7 @@ def sweep_pair(ctx, consts, state):
     state.update(conf=conf, key=key, S_U=S_U, S_D=S_D, S_T=S_T, G=G,
                  acc=acc, neg_prob=nneg, prop_err_max=pem, prop_err_count=pec,
                  prop=state["prop"] + 2 * ctx.M * ctx.N)
+    _prec.__exit__(None, None, None)
     return state, G_meas, conf_meas
 
 
