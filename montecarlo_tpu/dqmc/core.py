@@ -373,14 +373,6 @@ def _scan_slices(ctx, consts, G, conf, key, counters, slice_list, direction):
     return G, conf, key, (acc, nneg)
 
 
-def _record_prop_error(state, G_wrapped, G_recomputed):
-    diff = jnp.max(jnp.abs(G_wrapped - G_recomputed))
-    state = dict(state)
-    state["prop_err_max"] = jnp.maximum(state["prop_err_max"], diff)
-    state["prop_err_count"] = state["prop_err_count"] + (diff > 1e-7)
-    return state
-
-
 def sweep_pair(ctx, consts, state):
     """One full [down sweep; up sweep] pass over imaginary time, updating every
     site of every slice twice. Returns (state, G_meas, conf_meas) where G_meas

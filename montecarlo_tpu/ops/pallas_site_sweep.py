@@ -52,8 +52,10 @@ def _kernel(lamb, signs, det_power, use_boson, N, F,
 
     lax.fori_loop(jnp.int32(0), jnp.int32(N), copy_body, jnp.int32(0))
 
+    acc_out[0, 0] = jnp.int32(0)
+    nneg_out[0, 0] = jnp.int32(0)
+
     def body(i, carry):
-        acc, nneg = carry
         s = sigma_out[0, i].astype(jnp.float32)
         dEb = jnp.float32(-2.0 * lamb) * s
         # signs is a static python tuple — unrolled, no captured constants
@@ -76,24 +78,24 @@ def _kernel(lamb, signs, det_power, use_boson, N, F,
         p = w * detratio
         accept = u_ref[0, i] < p
         # NOTE: bool→numeric astype hits an infinite recursion in the Mosaic
-        # convert_element_type lowering — use where() instead
-        nneg = nneg + jnp.where(detratio < 0, jnp.int32(1), jnp.int32(0))
+        # convert_element_type lowering — use where() instead; counters live
+        # in SMEM refs so the fori body carries nothing
+        nneg_out[0, 0] = nneg_out[0, 0] + jnp.where(detratio < 0,
+                                                    jnp.int32(1), jnp.int32(0))
         x = jnp.where(accept, delta / r, jnp.zeros_like(r))            # (F,)
         IG = onehot[None, :] - col_i                                   # (F,N)
         G_out[...] = (G_out[...]
                       - (x[:, None] * IG)[:, :, None] * row_i[:, None, :])
         sigma_out[0, i] = jnp.where(accept, -sigma_out[0, i],
                                     sigma_out[0, i])
-        acc = acc + jnp.where(accept, jnp.int32(1), jnp.int32(0))
-        return (acc, nneg)
+        acc_out[0, 0] = acc_out[0, 0] + jnp.where(accept, jnp.int32(1),
+                                                  jnp.int32(0))
+        return carry
 
     # 32-bit loop bounds: under jax_enable_x64 a python-int fori index is
     # int64, and int32->int64 conversion infinitely recurses in the Mosaic
     # lowering fallback
-    acc, nneg = lax.fori_loop(jnp.int32(0), jnp.int32(N), body,
-                              (jnp.int32(0), jnp.int32(0)))
-    acc_out[0, 0] = acc
-    nneg_out[0, 0] = nneg
+    lax.fori_loop(jnp.int32(0), jnp.int32(N), body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("lamb", "signs", "det_power",
