@@ -75,7 +75,7 @@ def bench_ising():
     from montecarlo_tpu import MC, IsingModel
 
     # Ising sweeps are tiny; use a large chain batch to amortize step latency
-    chains = int(os.environ.get("BENCH_ISING_CHAINS", "65536"))
+    chains = int(os.environ.get("BENCH_ISING_CHAINS", "262144"))
     model = IsingModel(dims=2, L=L)
     mc = MC(model, beta=0.44, n_chains=chains, seed=0, sweeps=50,
             thermalization=0, measure_rate=10 ** 9, measurements={})
