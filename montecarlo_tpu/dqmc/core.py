@@ -334,17 +334,27 @@ def init_state(ctx, consts, conf, key):
     S_U = S_U.at[ctx.n_seg].set(U)
     S_D = S_D.at[ctx.n_seg].set(D)
     S_T = S_T.at[ctx.n_seg].set(T)
+    # Valid G_eff(M) = [I + B_{M-1}...B_0]^{-1} from the fresh stack, so the
+    # propagation-error check at the beta-boundary turnaround is meaningful
+    # from the very first sweep (reference: build_stack is always followed by
+    # propagate, stack.jl:242-255 + :502).
+    iU, iD, iT = _identity_udt(ctx)
+    G0 = calculate_greens(U, D, T, iU, iD, iT, ctx.greens_udt_fn)
     _prec.__exit__(None, None, None)
+    # Counters are explicit int32 and are drained to host-side Python ints
+    # after every run chunk (DQMC._drain_counters), so they can never
+    # overflow in long runs regardless of the x64 flag.
+    c0 = jnp.zeros((), jnp.int32)
     return {
         "conf": conf,
         "S_U": S_U, "S_D": S_D, "S_T": S_T,
-        "G": jnp.zeros((ctx.F, ctx.N, ctx.N), ctx.udtype),
+        "G": G0.astype(ctx.udtype),
         "key": key,
-        "acc": jnp.zeros((), jnp.int64),
-        "prop": jnp.zeros((), jnp.int64),
-        "neg_prob": jnp.zeros((), jnp.int64),
-        "prop_err_max": jnp.zeros((), jnp.float64),
-        "prop_err_count": jnp.zeros((), jnp.int64),
+        "acc": c0,
+        "prop": c0,
+        "neg_prob": c0,
+        "prop_err_max": jnp.zeros((), ctx.dtype),
+        "prop_err_count": c0,
     }
 
 
@@ -365,8 +375,8 @@ def _scan_slices(ctx, consts, G, conf, key, counters, slice_list, direction):
         conf = conf.at[:, l].set(sigma)
         if direction > 0:
             G = wrap_up(ctx, consts, sigma, G)
-        return (G, conf, key, acc + a.astype(jnp.int64),
-                nneg + ng.astype(jnp.int64)), None
+        return (G, conf, key, acc + a.astype(jnp.int32),
+                nneg + ng.astype(jnp.int32)), None
 
     (G, conf, key, acc, nneg), _ = lax.scan(
         body, (G, conf, key, acc, nneg), slice_list)
@@ -422,10 +432,13 @@ def sweep_pair(ctx, consts, state):
         G_re = calculate_greens(lU, lD, lT, rU, rD, rT,
                                 ctx.greens_udt_fn)   # G_eff((j+1)*sm)
         if ctx.check_propagation_error:
+            # checked at EVERY boundary including the beta turnaround (the
+            # longest unstabilized window): init_state seeds a valid G, so no
+            # first-sweep placeholder skip is needed (reference checks all
+            # boundaries, stack.jl:530-550).
             diff = jnp.max(jnp.abs(G - G_re))
-            pem = jnp.where(first, pem, jnp.maximum(pem, diff))
-            pec = pec + jnp.where(first, 0,
-                                  (diff > ctx.prop_err_threshold)).astype(jnp.int64)
+            pem = jnp.maximum(pem, diff)
+            pec = pec + (diff > ctx.prop_err_threshold).astype(jnp.int32)
         G = G_re.astype(ctx.udtype)
         slices = jnp.arange(sm - 1, -1, -1) + j * sm       # descending
         G, conf, key, (acc, nneg) = _scan_slices(
@@ -453,12 +466,12 @@ def sweep_pair(ctx, consts, state):
     S_D = S_D.at[0].set(lD)
     S_T = S_T.at[0].set(lT)
     key, sub = jax.random.split(key)
-    u = jax.random.uniform(sub, (ctx.N,), ctx.dtype)
+    u = jax.random.uniform(sub, (ctx.N,), ctx.udtype)
     sigma = conf[:, 0]
     G, sigma, a, ng = sweep_slice(ctx, G, sigma, u)
     conf = conf.at[:, 0].set(sigma)
-    acc = acc + a.astype(jnp.int64)
-    nneg = nneg + ng.astype(jnp.int64)
+    acc = acc + a.astype(jnp.int32)
+    nneg = nneg + ng.astype(jnp.int32)
     G_meas = G
     conf_meas = conf
     G = wrap_up(ctx, consts, sigma, G)
@@ -474,7 +487,7 @@ def sweep_pair(ctx, consts, state):
         if ctx.check_propagation_error:
             diff = jnp.max(jnp.abs(G - G_re))
             pem = jnp.maximum(pem, diff)
-            pec = pec + (diff > ctx.prop_err_threshold).astype(jnp.int64)
+            pec = pec + (diff > ctx.prop_err_threshold).astype(jnp.int32)
         G = G_re.astype(ctx.udtype)
         S_U = S_U.at[j].set(lU)
         S_D = S_D.at[j].set(lD)

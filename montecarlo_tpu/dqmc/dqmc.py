@@ -270,6 +270,7 @@ class DQMC:
             dur = time.time() - t0
             max_chunk_dur = max(max_chunk_dur, dur)
             self.analysis.sweep_duration = dur / n
+            self._drain_counters()
 
             i += n
             self.last_sweep = i
@@ -277,7 +278,6 @@ class DQMC:
                 self.configs.push(i, np.asarray(self.state["conf"]))
 
             if verbose and (i % p.print_rate < chunk):
-                self._sync_analysis()
                 print(f"[DQMC] sweep {i}/{total}  "
                       f"acc={self.analysis.acc_rate:.3f}  "
                       f"({dur / n * 1e3:.1f} ms/sweep)  "
@@ -285,31 +285,35 @@ class DQMC:
 
             now = time.time()
             if safe_before is not None and now + 2 * max_chunk_dur + grace_period > safe_before:
-                self._sync_analysis()
                 self._timed_save(filename, verbose)
                 return False
             if safe_every is not None and now - last_save > safe_every:
-                self._sync_analysis()
                 self._timed_save(filename, verbose)
                 last_save = now
 
-        self._sync_analysis()
         if verbose and not p.silent:
             self._report_errors()
         return True
 
-    def _sync_analysis(self):
+    def _drain_counters(self):
+        """Accumulate the per-chain device counters into host-side Python
+        ints and reset them, so the int32 device counters (core.init_state)
+        can never overflow in long production runs."""
         st = self.state
-        self.analysis.prop_local = int(np.sum(np.asarray(st["prop"])))
-        self.analysis.acc_local = int(np.sum(np.asarray(st["acc"])))
+        self.analysis.prop_local += int(np.sum(np.asarray(st["prop"])))
+        self.analysis.acc_local += int(np.sum(np.asarray(st["acc"])))
         self.analysis.acc_rate = (self.analysis.acc_local /
                                   max(1, self.analysis.prop_local))
-        self.analysis.negative_probability.count = int(
+        self.analysis.negative_probability.count += int(
             np.sum(np.asarray(st["neg_prob"])))
-        self.analysis.propagation_error.max = float(
-            np.max(np.asarray(st["prop_err_max"])))
-        self.analysis.propagation_error.count = int(
+        self.analysis.propagation_error.max = max(
+            self.analysis.propagation_error.max,
+            float(np.max(np.asarray(st["prop_err_max"]))))
+        self.analysis.propagation_error.count += int(
             np.sum(np.asarray(st["prop_err_count"])))
+        zeros = {k: jnp.zeros_like(st[k]) for k in
+                 ("prop", "acc", "neg_prob", "prop_err_max", "prop_err_count")}
+        self.state = {**st, **zeros}
 
     def _report_errors(self):
         """End-of-run numerical sanitizer report (reference: DQMC.jl:483-505)."""
@@ -373,6 +377,15 @@ class DQMC:
             "type": "DQMC",
             "parameters": {k: v for k, v in self.parameters.as_dict().items()
                            if k not in ("warn_round",)},
+            # numeric operating mode — MUST round-trip so a resumed run keeps
+            # the same numerics (an f32 checkpoint resumes f32, etc.)
+            "numerics": {
+                "dtype": str(self.ctx.dtype),
+                "update_dtype": (None if self.ctx.update_dtype is None
+                                 else str(self.ctx.update_dtype)),
+                "stab_method": self.ctx.stab_method,
+                "use_pallas": bool(self.ctx.use_pallas),
+            },
             "n_chains": self.n_chains,
             "last_sweep": self.last_sweep,
             "conf": np.asarray(self.state["conf"]),
@@ -386,6 +399,9 @@ class DQMC:
                 "acc_rate": self.analysis.acc_rate,
                 "prop_local": self.analysis.prop_local,
                 "acc_local": self.analysis.acc_local,
+                "neg_prob_count": self.analysis.negative_probability.count,
+                "prop_err_max": self.analysis.propagation_error.max,
+                "prop_err_count": self.analysis.propagation_error.count,
             },
             "model": {
                 "type": type(self.model).__name__,
@@ -409,7 +425,17 @@ class DQMC:
         self.configs = (ConfigRecorder.from_state(rec_state)
                         if rec_state["type"] == "ConfigRecorder"
                         else Discarder.from_state(rec_state))
-        for k, st in state["measurement_states"].items():
-            if k in self.measurements.states:
-                self.measurements.states[k] = jax.tree_util.tree_map(
-                    jnp.asarray, st)
+        self.measurements.restore_states(state["measurement_states"], "ME")
+        self.thermalization_measurements.restore_states(
+            state.get("th_measurement_states", {}), "TH")
+        an = state.get("analysis")
+        if an:
+            self.analysis.acc_rate = float(an.get("acc_rate", 0.0))
+            self.analysis.prop_local = int(an.get("prop_local", 0))
+            self.analysis.acc_local = int(an.get("acc_local", 0))
+            self.analysis.negative_probability.count = int(
+                an.get("neg_prob_count", 0))
+            self.analysis.propagation_error.max = float(
+                an.get("prop_err_max", 0.0))
+            self.analysis.propagation_error.count = int(
+                an.get("prop_err_count", 0))

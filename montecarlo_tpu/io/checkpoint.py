@@ -95,8 +95,19 @@ def load(filename: str):
         mc = MC(model, n_chains=state["n_chains"],
                 **{k: v for k, v in state["parameters"].items()})
     elif payload["type"] == "DQMC":
+        import jax.numpy as jnp
         from ..dqmc.dqmc import DQMC
-        mc = DQMC(model, n_chains=state["n_chains"],
+        # restore the numeric operating mode exactly (an f32 checkpoint must
+        # resume f32 — reference saves the full tree, src/FileIO.jl:38-91)
+        num = state.get("numerics", {})
+        kwargs = {}
+        if num:
+            kwargs["dtype"] = jnp.dtype(num["dtype"])
+            if num.get("update_dtype") is not None:
+                kwargs["update_dtype"] = jnp.dtype(num["update_dtype"])
+            kwargs["stab_method"] = num.get("stab_method", "qr")
+            kwargs["use_pallas"] = bool(num.get("use_pallas", False))
+        mc = DQMC(model, n_chains=state["n_chains"], **kwargs,
                   **{k: v for k, v in state["parameters"].items()})
     else:
         raise ValueError(f"Unknown simulation type {payload['type']}")

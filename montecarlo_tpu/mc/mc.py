@@ -339,9 +339,8 @@ class MC:
         self.configs = (ConfigRecorder.from_state(rec_state)
                         if rec_state["type"] == "ConfigRecorder"
                         else Discarder.from_state(rec_state))
-        for k, st in state["measurement_states"].items():
-            if k in self.measurements.states:
-                self.measurements.states[k] = jax.tree_util.tree_map(
-                    jnp.asarray, st)
+        self.measurements.restore_states(state["measurement_states"], "ME")
+        self.thermalization_measurements.restore_states(
+            state.get("th_measurement_states", {}), "TH")
         self.analysis = MCAnalysis(**state["analysis"])
         self.a = self.analysis

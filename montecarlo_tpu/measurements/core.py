@@ -133,6 +133,21 @@ class MeasurementRegistry:
         self.measurements.pop(key, None)
         self.states.pop(key, None)
 
+    def restore_states(self, saved: Dict, what: str = ""):
+        """Load checkpointed binner states. Warns loudly for saved keys with
+        no matching measurement definition instead of silently dropping them
+        (reference restores the complete tree, src/Measurements.jl:519-592)."""
+        import warnings
+        for k, st in saved.items():
+            if k in self.states:
+                self.states[k] = jax.tree_util.tree_map(jnp.asarray, st)
+            else:
+                warnings.warn(
+                    f"checkpoint carries {what} state for measurement {k!r} "
+                    "but the rebuilt simulation has no such measurement — its "
+                    "accumulated data is dropped. Re-add the measurement via "
+                    "mc[key] = ... before load_state/resume to keep it.")
+
     def keys(self):
         return self.measurements.keys()
 

@@ -55,3 +55,72 @@ def test_dqmc_replay(tmp_path):
     occ = mc.observables()["occ"]["occ"]
     assert occ.count == 8
     assert np.all(np.abs(occ.mean - 0.6) < 0.3)  # mu=0.5 -> above half filling
+
+def test_dqmc_checkpoint_numerics_roundtrip(tmp_path):
+    """An f32 checkpoint must resume f32 with the same stab method — the
+    numeric operating mode is part of the saved tree (reference saves the
+    complete tree, src/FileIO.jl:38-91)."""
+    import jax.numpy as jnp
+    model = HubbardModelAttractive(dims=2, L=2, U=2.0, mu=0.5)
+    mc = DQMC(model, beta=1.0, n_chains=4, seed=3, sweeps=20,
+              thermalization=0, measure_rate=2, print_rate=10 ** 9,
+              dtype=jnp.float32, stab_method="qr_colscaled")
+    mc.run(sweeps=10, verbose=False, chunk=5)
+    fn = str(tmp_path / "f32.mctpu")
+    save(fn, mc)
+    mc2 = load(fn)
+    assert mc2.ctx.dtype == jnp.dtype(jnp.float32)
+    assert mc2.ctx.stab_method == "qr_colscaled"
+    assert mc2.state["G"].dtype == jnp.float32
+    # resumed f32 run is bit-identical to an uninterrupted f32 run
+    # (reference gate: test/FileIO.jl:47-60)
+    mc2.run(sweeps=20, verbose=False, chunk=5)
+    full = DQMC(model, beta=1.0, n_chains=4, seed=3, sweeps=20,
+                thermalization=0, measure_rate=2, print_rate=10 ** 9,
+                dtype=jnp.float32, stab_method="qr_colscaled")
+    full.run(verbose=False, chunk=5)
+    assert np.array_equal(np.asarray(full.state["conf"]),
+                          np.asarray(mc2.state["conf"]))
+    assert np.array_equal(np.asarray(full.state["G"]),
+                          np.asarray(mc2.state["G"]))
+
+
+def test_dqmc_checkpoint_restores_th_states_and_analysis(tmp_path):
+    from montecarlo_tpu.measurements import dqmc_measurements as dm
+    model = HubbardModelAttractive(dims=2, L=2, U=2.0, mu=0.5)
+
+    def build():
+        mc = DQMC(model, beta=1.0, n_chains=4, seed=5, sweeps=10,
+                  thermalization=10, measure_rate=2, print_rate=10 ** 9)
+        mc.thermalization_measurements.add(
+            "occ_th", dm.occupation(mc, model), mc.n_chains)
+        return mc
+
+    mc = build()
+    assert mc.run(verbose=False, chunk=5)
+    th_before = mc.observables("TH")["occ_th"]["occ"]
+    assert th_before.count > 0
+    fn = str(tmp_path / "th.mctpu")
+    save(fn, mc)
+
+    mc2 = build()
+    mc2.load_state(__import__("pickle").load(open(fn, "rb"))["state"])
+    th_after = mc2.observables("TH")["occ_th"]["occ"]
+    assert th_after.count == th_before.count
+    assert np.allclose(th_after.mean, th_before.mean)
+    assert mc2.analysis.prop_local == mc.analysis.prop_local
+    assert mc2.analysis.acc_local == mc.analysis.acc_local
+
+
+def test_dqmc_orphan_measurement_state_warns(tmp_path):
+    import warnings as _w
+    mc = _fresh()
+    mc.run(sweeps=4, verbose=False, chunk=4)
+    fn = str(tmp_path / "orphan.mctpu")
+    save(fn, mc)
+    mc2 = _fresh()
+    del mc2["greens"]
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        mc2.load_state(__import__("pickle").load(open(fn, "rb"))["state"])
+    assert any("greens" in str(r.message) for r in rec)
