@@ -71,6 +71,13 @@ class DQMCContext:
     # use the fused Pallas site-sweep kernel for the hot path (requires the
     # update dtype to be float32; falls back to the XLA loop otherwise)
     use_pallas: bool = False
+    # delayed (rank-k) Green's updates: accumulate up to `delay` site updates
+    # as skinny (N,k)/(k,N) factors and apply them as ONE batched matmul —
+    # the TPU-idiomatic accept_local! (reference rank-1 form:
+    # HubbardModelAttractive.jl:129-155; delayed-update scheme after
+    # arXiv:2308.12005). 0/1 = plain rank-1 path. Mathematically identical
+    # to rank-1 up to fp rounding.
+    delay: int = 0
 
     def matmul_precision(self):
         """Trace-time matmul precision context. TPU lowers float32 matmuls
@@ -105,6 +112,7 @@ class DQMCContext:
 
 def make_context(model, params, dtype=jnp.float64, update_dtype=None,
                  stab_method: str = "qr", use_pallas: bool = False,
+                 delay: int = 0,
                  check_propagation_error: bool = None) -> Tuple[DQMCContext, dict]:
     """Build the static context + hopping matrix exponentials for a model.
 
@@ -132,9 +140,16 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
            if check_propagation_error is None else check_propagation_error)
     mixed = update_dtype is not None and jnp.dtype(update_dtype) != jnp.dtype(dtype)
     udt32 = jnp.dtype(update_dtype or dtype) == jnp.dtype(jnp.float32)
+    # clamp the delayed-update block to the largest divisor of N <= delay so
+    # the site loop tiles exactly (no remainder block in the trace)
+    N_sites = len(model.lattice)
+    k = max(0, int(delay))
+    while k > 1 and N_sites % k:
+        k -= 1
     ctx = DQMCContext(
         stab_method=stab_method,
         use_pallas=bool(use_pallas) and udt32,
+        delay=0 if k <= 1 else k,
         N=len(model.lattice), M=params.slices, sm=params.safe_mult,
         F=model.nflavors, lamb=model.lamb(dtau),
         det_power=2 // model.nflavors, use_boson=model.use_boson_weight,
@@ -273,6 +288,8 @@ def sweep_slice(ctx, G, sigma, u):
             G, sigma.astype(jnp.int32), u, lamb=ctx.lamb, signs=ctx.signs,
             det_power=ctx.det_power, use_boson=ctx.use_boson)
         return G2, s2.astype(sigma.dtype), acc, nneg
+    if ctx.delay > 1:
+        return sweep_slice_delayed(ctx, G, sigma, u)
     ud = ctx.udtype
     signs = _signs(ctx, ud)
 
@@ -302,6 +319,70 @@ def sweep_slice(ctx, G, sigma, u):
 
     acc0 = jnp.zeros((), jnp.int32)
     G, sigma, acc, nneg = lax.fori_loop(0, ctx.N, body, (G, sigma, acc0, acc0))
+    return G, sigma, acc, nneg
+
+
+def sweep_slice_delayed(ctx, G, sigma, u):
+    """Delayed (rank-k) variant of sweep_slice: identical Markov chain, but
+    accepted flips are accumulated as skinny factors A (F,N,K) / B (F,K,N)
+    with G_curr = G - A·B, and folded into G as ONE batched matmul per block
+    of K sites. The sequential per-site work shrinks from an O(N^2) rank-1
+    Green's update to two O(N·K) skinny contractions, and the O(N^2·K)
+    fold-in runs on the MXU (delayed-update scheme after arXiv:2308.12005;
+    rank-1 semantics: reference HubbardModelAttractive.jl:129-155).
+    Requires K | N (enforced by make_context)."""
+    ud = ctx.udtype
+    K = ctx.delay
+    N, F = ctx.N, ctx.F
+    signs = _signs(ctx, ud)
+
+    def site_body(j, carry, b):
+        G, A, B, sigma, acc, nneg = carry
+        i = b * K + j
+        s = sigma[i].astype(ud)
+        dEb = ud.type(-2.0 * ctx.lamb) * s
+        delta = jnp.expm1(signs * dEb)                       # (F,)
+        # current G entries at site i: G_curr = G - A @ B
+        Arow = lax.dynamic_slice_in_dim(A, i, 1, axis=1)[:, 0]       # (F,K)
+        Bcol = lax.dynamic_slice_in_dim(B, i, 1, axis=2)[:, :, 0]    # (F,K)
+        gii = jnp.diagonal(G, axis1=-2, axis2=-1)
+        gii = lax.dynamic_slice_in_dim(gii, i, 1, axis=1)[:, 0]      # (F,)
+        gii = gii - jnp.sum(Arow * Bcol, axis=-1)
+        r = 1.0 + delta * (1.0 - gii)
+        detratio = jnp.prod(r) ** ctx.det_power
+        w = jnp.exp(-dEb) if ctx.use_boson else ud.type(1.0)
+        p = w * detratio
+        accept = u[i] < p
+        nneg = nneg + jnp.asarray(detratio < 0, jnp.int32)
+        x = delta / r                                        # (F,)
+        row = lax.dynamic_slice_in_dim(G, i, 1, axis=1)[:, 0]        # (F,N)
+        row = row - (Arow[:, None, :] @ B)[:, 0, :]
+        col = lax.dynamic_slice_in_dim(G, i, 1, axis=2)[:, :, 0]     # (F,N)
+        col = col - (A @ Bcol[..., None])[..., 0]
+        coef = jnp.where(accept, x, ud.type(0.0))            # (F,)
+        IG = -col
+        IG = IG.at[:, i].add(1.0)
+        a_new = coef[:, None] * IG                           # (F,N)
+        A = lax.dynamic_update_slice_in_dim(A, a_new[:, :, None], j, axis=2)
+        B = lax.dynamic_update_slice_in_dim(B, row[:, None, :], j, axis=1)
+        sigma = sigma.at[i].multiply(
+            jnp.where(accept, -1, 1).astype(sigma.dtype))
+        acc = acc + jnp.asarray(accept, jnp.int32)
+        return (G, A, B, sigma, acc, nneg)
+
+    def block_body(b, carry):
+        G, sigma, acc, nneg = carry
+        A = jnp.zeros((F, N, K), ud)
+        B = jnp.zeros((F, K, N), ud)
+        G, A, B, sigma, acc, nneg = lax.fori_loop(
+            0, K, lambda j, c: site_body(j, c, b),
+            (G, A, B, sigma, acc, nneg))
+        G = G - A @ B
+        return (G, sigma, acc, nneg)
+
+    acc0 = jnp.zeros((), jnp.int32)
+    G, sigma, acc, nneg = lax.fori_loop(
+        0, N // K, block_body, (G, sigma, acc0, acc0))
     return G, sigma, acc, nneg
 
 

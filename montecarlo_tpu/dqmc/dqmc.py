@@ -54,7 +54,7 @@ class DQMC:
 
     def __init__(self, model, n_chains: int = 16, seed: int = 0,
                  dtype=jnp.float64, update_dtype=None, use_pallas: bool = False,
-                 stab_method: str = "qr",
+                 stab_method: str = "qr", delay: int = 0,
                  measurements: str | Dict = "default",
                  thermalization_measurements: Optional[Dict] = None,
                  recorder=None, recording_rate: int = None,
@@ -71,7 +71,8 @@ class DQMC:
         self.ctx, self.consts = core.make_context(model, self.parameters, dtype,
                                                   update_dtype=update_dtype,
                                                   use_pallas=use_pallas,
-                                                  stab_method=stab_method)
+                                                  stab_method=stab_method,
+                                                  delay=delay)
 
         root = jax.random.PRNGKey(seed)
         init_key, sweep_key = jax.random.split(root)
@@ -385,6 +386,7 @@ class DQMC:
                                  else str(self.ctx.update_dtype)),
                 "stab_method": self.ctx.stab_method,
                 "use_pallas": bool(self.ctx.use_pallas),
+                "delay": int(self.ctx.delay),
             },
             "n_chains": self.n_chains,
             "last_sweep": self.last_sweep,

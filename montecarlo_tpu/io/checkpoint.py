@@ -107,6 +107,7 @@ def load(filename: str):
                 kwargs["update_dtype"] = jnp.dtype(num["update_dtype"])
             kwargs["stab_method"] = num.get("stab_method", "qr")
             kwargs["use_pallas"] = bool(num.get("use_pallas", False))
+            kwargs["delay"] = int(num.get("delay", 0))
         mc = DQMC(model, n_chains=state["n_chains"], **kwargs,
                   **{k: v for k, v in state["parameters"].items()})
     else:

@@ -93,30 +93,61 @@ def test_anti_periodicity():
         assert np.max(np.abs(Gk0 + GkM)) < 1e-11, f"k={k}"
 
 
-@pytest.mark.parametrize("recalc_mult,tol", [(1, 1e-10), (2, 1e-4)])
-def test_combined_iterator_accuracy(recalc_mult, tol):
-    """CombinedGreensIterator outputs vs direct greens_kl computation
-    (reference tiers: recalc=safe_mult → 1e-14, 4*safe_mult → 1e-10;
-    flavortests_DQMC.jl:127-162)."""
+@pytest.mark.parametrize("recalc_mult,tol", [(1, 1e-10), (2, 1e-6)])
+def test_combined_iterator_accuracy_strong_coupling(recalc_mult, tol):
+    """CombinedGreensIterator self-check vs direct greens_kl at STRONG
+    coupling (U=4), where the Gll similarity advance amplifies factor errors
+    ~2-3x per slice — the default recalculate=safe_mult tier must stay at
+    ~1e-12 (reference accuracy(it) semantics, unequal_time_stack.jl:885-889)."""
     model, params, ctx, consts, conf = _setup(beta=4.0, U=4.0)
-    M = ctx.M
     G00 = core.greens_from_scratch(ctx, consts, conf, 0)
-    unwrap = partial(core.unwrap_greens, ctx, consts)
+    err = ut.combined_accuracy(ctx, consts, conf, G00,
+                               recalculate=recalc_mult * ctx.sm)
+    assert float(err) < tol
+    assert ut.verify_combined(ctx, consts, conf, G00, maxerror=tol,
+                              recalculate=recalc_mult * ctx.sm)
 
-    collected = []
+
+def test_iterator_reference_gate_config():
+    """The reference's own iterator gate: 6-site chain, U=1, beta=15,
+    safe_mult=5 — CombinedGreensIterator and GreensIterator at
+    recalculate=4*safe_mult must be < 1e-10 / 1e-11, at safe_mult < 1e-13
+    (reference test/flavortests_DQMC.jl:127-162)."""
+    model = HubbardModelAttractive(dims=1, L=6, U=1.0, mu=0.0)
+    params = DQMCParameters(beta=15.0, safe_mult=5)
+    ctx, consts = core.make_context(model, params)
+    conf = model.rand_conf(jax.random.PRNGKey(3), 1, params.slices)[0]
+    G00 = core.greens_from_scratch(ctx, consts, conf, 0)
+    assert float(ut.combined_accuracy(ctx, consts, conf, G00,
+                                      recalculate=ctx.sm)) < 1e-13
+    assert float(ut.combined_accuracy(ctx, consts, conf, G00,
+                                      recalculate=4 * ctx.sm)) < 1e-10
+    assert float(ut.greens_range_accuracy(ctx, consts, conf, 0,
+                                          recalculate=ctx.sm)) < 1e-13
+    assert float(ut.greens_range_accuracy(ctx, consts, conf, 0,
+                                          recalculate=4 * ctx.sm)) < 1e-11
+
+
+@pytest.mark.parametrize("l", [0, 7, 10])
+def test_greens_range_iterator(l):
+    """General GreensIterator: all G(k, l) for k = l..M at arbitrary l
+    (reference GreensIterator{:, l}, unequal_time_stack.jl:644-726 — the
+    reference only supports ls=0; arbitrary l is an extension)."""
+    model, params, ctx, consts, conf = _setup(beta=4.0, U=4.0)
+    err = ut.greens_range_accuracy(ctx, consts, conf, l,
+                                   recalculate=ctx.sm)
+    assert float(err) < 1e-10, f"l={l}: {float(err)}"
+
+
+def test_combined_iterator_yields_all_M():
+    """The scan-based iterator must call step_fn exactly M times (one per
+    l = 1..M), checked by counting through the accumulator."""
+    model, params, ctx, consts, conf = _setup(beta=2.0, U=2.0)
+    G00 = core.greens_from_scratch(ctx, consts, conf, 0)
 
     def step(acc, G0l, Gl0, Gll):
-        collected.append((G0l, Gl0, Gll))
-        return acc
+        return acc + 1
 
-    ut.combined_greens_apply(ctx, consts, conf, G00, 0.0, step,
-                             recalculate=recalc_mult * ctx.sm)
-    assert len(collected) == M
-    for l in (1, 5, 9, 10, 11, 20, 33, M - 1, M):
-        G0l, Gl0, Gll = collected[l - 1]
-        ref_l0 = unwrap(ut.greens_kl(ctx, consts, conf, l, 0))
-        ref_0l = unwrap(ut.greens_kl(ctx, consts, conf, 0, l))
-        ref_ll = unwrap(ut.greens_kl(ctx, consts, conf, l, l))
-        assert np.max(np.abs(np.asarray(Gl0) - np.asarray(ref_l0))) < tol, f"Gl0 l={l}"
-        assert np.max(np.abs(np.asarray(G0l) - np.asarray(ref_0l))) < tol, f"G0l l={l}"
-        assert np.max(np.abs(np.asarray(Gll) - np.asarray(ref_ll))) < tol, f"Gll l={l}"
+    n = ut.combined_greens_apply(ctx, consts, conf, G00,
+                                 jnp.zeros((), jnp.int32), step)
+    assert int(n) == ctx.M
