@@ -160,3 +160,30 @@ def slice_matrix_cb(ctx, consts, cb: CheckerboardData, sigma_l):
     CBTrue, slice_matrices.jl:85-104)."""
     I = jnp.broadcast_to(jnp.eye(ctx.N, dtype=ctx.dtype), (ctx.F, ctx.N, ctx.N))
     return mult_B_left_cb(ctx, consts, cb, sigma_l, I)
+
+
+def assemble_dense_operator(lattice, hopping: np.ndarray, dtau: float,
+                            dtype=jnp.float64):
+    """The checkerboard hopping operator and its exact inverse as DENSE (N,N)
+    matrices: op = [Π_{g≥2} e^{-dtau/2 T_g}] e^{-dtau T_1} [Π_{g≥2,rev}] ·
+    diag(e^{-dtau·mu}).
+
+    This is how `DQMC(checkerboard=True)` threads the decomposition through
+    the propagation (reference: CBTrue slice multiplies,
+    src/flavors/DQMC/slice_matrices.jl:104-222): the checkerboard defines a
+    specific OPERATOR (with its own O(dtau^2) Trotter systematics); on TPU the
+    fastest way to apply it at N ≲ 10^3 is a dense MXU matmul of its
+    assembled matrix, not the reference's sparse group products — so the
+    checkerboard mode simply swaps the dense e^{-dtau T} in `consts` for this
+    assembled matrix, and the whole hot path is unchanged. The sparse
+    gather/scatter appliers above remain for very large lattices and for the
+    factor-by-factor tests. The inverse is exact (each 2x2 rotation inverts
+    exactly), not a matrix inversion."""
+    N = hopping.shape[0]
+    cb = build_checkerboard(lattice, hopping, dtau)
+    I = jnp.eye(N, dtype=dtype)
+    hop = _hop_left(cb, I, inv=False)
+    hop_inv = _hop_left(cb, I, inv=True)
+    op = hop * jnp.asarray(cb.mu_diag, dtype)[None, :]
+    op_inv = jnp.asarray(cb.mu_diag_inv, dtype)[:, None] * hop_inv
+    return op, op_inv

@@ -78,6 +78,12 @@ class DQMCContext:
     # arXiv:2308.12005). 0/1 = plain rank-1 path. Mathematically identical
     # to rank-1 up to fp rounding.
     delay: int = 0
+    # checkerboard Trotter decomposition of e^{-dtau T} (reference:
+    # DQMC(checkerboard=true), CBTrue multiplies in slice_matrices.jl:104-222).
+    # On TPU the assembled checkerboard operator is applied as a dense MXU
+    # matmul (see checkerboard.assemble_dense_operator) — this flag only
+    # switches which operator make_context bakes into `consts`.
+    checkerboard: bool = False
 
     def matmul_precision(self):
         """Trace-time matmul precision context. TPU lowers float32 matmuls
@@ -112,7 +118,7 @@ class DQMCContext:
 
 def make_context(model, params, dtype=jnp.float64, update_dtype=None,
                  stab_method: str = "qr", use_pallas: bool = False,
-                 delay: int = 0,
+                 delay: int = 0, checkerboard: bool = False,
                  check_propagation_error: bool = None) -> Tuple[DQMCContext, dict]:
     """Build the static context + hopping matrix exponentials for a model.
 
@@ -121,20 +127,36 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
                    stack.jl:167-181)
       eThalf, eThalfinv: exp(∓ dtau/2 T)  (for effective→physical greens
                    unwrapping, reference DQMC.jl:711-750)
+    With checkerboard=True the four hopping operators are the ASSEMBLED
+    checkerboard-factorized matrices instead of the exact exponentials
+    (reference: init_checkerboard_matrices, stack.jl:185-235 + CBTrue
+    multiplies; O(dtau^2) Trotter systematics, exact inverses).
     """
     T = model.hopping_matrix()
     dtau = params.delta_tau
-    w, V = np.linalg.eigh(T)
-    expm = lambda c: (V * np.exp(c * w)[None, :]) @ V.T
+    if checkerboard:
+        from .checkerboard import assemble_dense_operator
+        f64 = jnp.float64
+        eT2_m, eT2inv_m = assemble_dense_operator(
+            model.lattice, T, dtau, dtype=f64)
+        eThalf_m, eThalfinv_m = assemble_dense_operator(
+            model.lattice, T, 0.5 * dtau, dtype=f64)
+        eT2_m, eT2inv_m = np.asarray(eT2_m), np.asarray(eT2inv_m)
+        eThalf_m, eThalfinv_m = np.asarray(eThalf_m), np.asarray(eThalfinv_m)
+    else:
+        w, V = np.linalg.eigh(T)
+        expm = lambda c: (V * np.exp(c * w)[None, :]) @ V.T
+        eT2_m, eT2inv_m = expm(-dtau), expm(dtau)
+        eThalf_m, eThalfinv_m = expm(-0.5 * dtau), expm(0.5 * dtau)
     udtype = dtype if update_dtype is None else update_dtype
     consts = {
-        "eT2": jnp.asarray(expm(-dtau), dtype),
-        "eT2inv": jnp.asarray(expm(dtau), dtype),
-        "eThalf": jnp.asarray(expm(-0.5 * dtau), dtype),
-        "eThalfinv": jnp.asarray(expm(0.5 * dtau), dtype),
+        "eT2": jnp.asarray(eT2_m, dtype),
+        "eT2inv": jnp.asarray(eT2inv_m, dtype),
+        "eThalf": jnp.asarray(eThalf_m, dtype),
+        "eThalfinv": jnp.asarray(eThalfinv_m, dtype),
         "hopping": jnp.asarray(T, dtype),
-        "eT2_u": jnp.asarray(expm(-dtau), udtype),
-        "eT2inv_u": jnp.asarray(expm(dtau), udtype),
+        "eT2_u": jnp.asarray(eT2_m, udtype),
+        "eT2inv_u": jnp.asarray(eT2inv_m, udtype),
     }
     cpe = (params.check_propagation_error
            if check_propagation_error is None else check_propagation_error)
@@ -150,6 +172,7 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
         stab_method=stab_method,
         use_pallas=bool(use_pallas) and udt32,
         delay=0 if k <= 1 else k,
+        checkerboard=bool(checkerboard),
         N=len(model.lattice), M=params.slices, sm=params.safe_mult,
         F=model.nflavors, lamb=model.lamb(dtau),
         det_power=2 // model.nflavors, use_boson=model.use_boson_weight,
@@ -283,10 +306,11 @@ def sweep_slice(ctx, G, sigma, u):
     Green's updates per flavor block. G: (F,N,N), sigma: (N,), u: (N,) uniforms.
     Returns (G, sigma, n_accepted, n_negative_detratio)."""
     if ctx.use_pallas:
-        from ..ops.pallas_site_sweep import site_sweep_pallas
-        G2, s2, acc, nneg = site_sweep_pallas(
-            G, sigma.astype(jnp.int32), u, lamb=ctx.lamb, signs=ctx.signs,
-            det_power=ctx.det_power, use_boson=ctx.use_boson)
+        from ..ops.pallas_site_sweep import get_fused_site_sweep
+        fused = get_fused_site_sweep(
+            lamb=ctx.lamb, signs=ctx.signs, det_power=ctx.det_power,
+            use_boson=ctx.use_boson)
+        G2, s2, acc, nneg = fused(G, sigma.astype(jnp.int32), u)
         return G2, s2.astype(sigma.dtype), acc, nneg
     if ctx.delay > 1:
         return sweep_slice_delayed(ctx, G, sigma, u)

@@ -55,6 +55,7 @@ class DQMC:
     def __init__(self, model, n_chains: int = 16, seed: int = 0,
                  dtype=jnp.float64, update_dtype=None, use_pallas: bool = False,
                  stab_method: str = "qr", delay: int = 0,
+                 checkerboard: bool = False,
                  measurements: str | Dict = "default",
                  thermalization_measurements: Optional[Dict] = None,
                  recorder=None, recording_rate: int = None,
@@ -72,7 +73,8 @@ class DQMC:
                                                   update_dtype=update_dtype,
                                                   use_pallas=use_pallas,
                                                   stab_method=stab_method,
-                                                  delay=delay)
+                                                  delay=delay,
+                                                  checkerboard=checkerboard)
 
         root = jax.random.PRNGKey(seed)
         init_key, sweep_key = jax.random.split(root)
@@ -387,6 +389,7 @@ class DQMC:
                 "stab_method": self.ctx.stab_method,
                 "use_pallas": bool(self.ctx.use_pallas),
                 "delay": int(self.ctx.delay),
+                "checkerboard": bool(self.ctx.checkerboard),
             },
             "n_chains": self.n_chains,
             "last_sweep": self.last_sweep,

@@ -10,22 +10,26 @@ on-chip, rank-1 updates as VPU outer products, no HBM traffic between sites.
 float32 only (the f32 / mixed-precision hot path — f64 is not supported by
 Mosaic); the UDT stabilization outside resets drift every safe_mult slices.
 
-Mosaic constraints honored: dynamic indexing only through refs (G lives in
-the output ref and is updated in place), operands 2D-ified so vmap-lifted
-blocks satisfy the (8, 128)-or-full tiling rule. Written per-chain (no
-grid): the chain batch is added by `vmap`. Verified bit-exact against the
-XLA `core.sweep_slice` path in interpreter mode.
+Design notes for Mosaic (round-1's fori_loop/SMEM variant died in the
+compiler on 'failed to legalize func.return'; every hazard is avoided here):
+  * the site loop IS the pallas grid — TPU grids execute sequentially, and
+    constant-index-map blocks persist in VMEM across steps, so G/sigma/
+    counters carry from site to site with no lax.fori_loop in the kernel;
+  * no SMEM, no scalar stores: sigma and the counters are float32 VMEM row
+    vectors; the per-site scalar reads (sigma_i, u_i, G_ii) and the row/
+    column extraction are one-hot contractions (dynamic lane indexing
+    crashes Mosaic; iota-mask contractions are plain VPU work);
+  * no bool→numeric astype (infinite recursion in the convert lowering):
+    jnp.where throughout; no integer types at all in the kernel;
+  * inputs are aliased to outputs (input_output_aliases) so there is no
+    i==0 copy step.
+Verified bit-exact against the XLA `core.sweep_slice` path in interpreter
+mode (tests/test_pallas_kernel.py), and on device when available.
 """
 
 from __future__ import annotations
 
 import functools
-import sys
-
-# the kernel is traced inside already-deep scan nests (segments → slices →
-# pallas); the default 1000-frame recursion limit is not enough
-if sys.getrecursionlimit() < 100000:
-    sys.setrecursionlimit(100000)
 
 import jax
 import jax.numpy as jnp
@@ -38,64 +42,65 @@ try:
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
+try:  # moved out of the jax namespace in jax 0.9
+    from jax.custom_batching import custom_vmap
+except ImportError:  # pragma: no cover
+    custom_vmap = jax.custom_vmap
+
 
 def _kernel(lamb, signs, det_power, use_boson, N, F,
-            sigma_ref, u_ref, G_ref, sigma_out, G_out, acc_out, nneg_out):
-    # G and sigma live in the OUTPUT refs so the site loop can index them
-    # dynamically (Mosaic only supports dynamic slicing through refs)
-    G_out[...] = G_ref[...]
+            u_ref, _sigma_in, _G_in, _cnt_in, sigma_ref, G_ref, cnt_ref):
+    """One grid step = one site i. State carried across steps in the output
+    refs (the inputs are aliased onto them, so _sigma_in/_G_in/_cnt_in are
+    the same buffers): sigma_ref (1,N) f32 ±1, G_ref (F,N,N) f32,
+    cnt_ref (2,N) f32 [row 0: accepts, row 1: negative detratios]."""
+    i = pl.program_id(0)
 
-    # sigma sits in SMEM where only scalar accesses are legal: copy entrywise
-    def copy_body(k, carry):
-        sigma_out[0, k] = sigma_ref[0, k]
-        return carry
+    onehot_lane = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (1, N), 1) == i,
+        jnp.float32(1.0), jnp.float32(0.0))                       # (1,N)
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(N), copy_body, jnp.int32(0))
+    s = jnp.sum(sigma_ref[...] * onehot_lane)                     # scalar
+    u_i = jnp.sum(u_ref[...] * onehot_lane)                       # scalar
+    dEb = jnp.float32(-2.0 * lamb) * s
 
-    acc_out[0, 0] = jnp.int32(0)
-    nneg_out[0, 0] = jnp.int32(0)
+    G = G_ref[...]                                                # (F,N,N)
+    # row i (sublane mask) and column i (lane mask) via contractions
+    row_mask = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (N, N), 0) == i,
+        jnp.float32(1.0), jnp.float32(0.0))                       # (N,N)
+    col_mask = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (N, N), 1) == i,
+        jnp.float32(1.0), jnp.float32(0.0))                       # (N,N)
+    row_i = jnp.sum(G * row_mask[None, :, :], axis=1)             # (F,N)
+    col_i = jnp.sum(G * col_mask[None, :, :], axis=2)             # (F,N)
+    gii = jnp.sum(row_i * onehot_lane, axis=1)                    # (F,)
 
-    def body(i, carry):
-        s = sigma_out[0, i].astype(jnp.float32)
-        dEb = jnp.float32(-2.0 * lamb) * s
-        # signs is a static python tuple — unrolled, no captured constants
-        delta = jnp.stack([jnp.exp(jnp.float32(sg) * dEb) - 1.0
-                           for sg in signs])                           # (F,)
-        onehot = jnp.where(lax.broadcasted_iota(jnp.int32, (N, 1), 0) == i,
-                           jnp.float32(1.0), jnp.float32(0.0))[:, 0]   # (N,)
-        row_i = G_out[:, i, :]                                         # (F,N)
-        # dynamic LANE indexing (G[:, :, i]) crashes the Mosaic compiler —
-        # extract the column and the diagonal entry with onehot contractions
-        col_i = jnp.sum(G_out[...] * onehot[None, None, :], axis=2)    # (F,N)
-        gii = jnp.sum(row_i * onehot[None, :], axis=1)                 # (F,)
-        r = 1.0 + delta * (1.0 - gii)
-        # static unroll (Mosaic has no reduce_prod): F is 1 or 2
-        rprod = r[0]
-        for f in range(1, len(signs)):
-            rprod = rprod * r[f]
-        detratio = rprod ** det_power
-        w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
-        p = w * detratio
-        accept = u_ref[0, i] < p
-        # NOTE: bool→numeric astype hits an infinite recursion in the Mosaic
-        # convert_element_type lowering — use where() instead; counters live
-        # in SMEM refs so the fori body carries nothing
-        nneg_out[0, 0] = nneg_out[0, 0] + jnp.where(detratio < 0,
-                                                    jnp.int32(1), jnp.int32(0))
-        x = jnp.where(accept, delta / r, jnp.zeros_like(r))            # (F,)
-        IG = onehot[None, :] - col_i                                   # (F,N)
-        G_out[...] = (G_out[...]
-                      - (x[:, None] * IG)[:, :, None] * row_i[:, None, :])
-        sigma_out[0, i] = jnp.where(accept, -sigma_out[0, i],
-                                    sigma_out[0, i])
-        acc_out[0, 0] = acc_out[0, 0] + jnp.where(accept, jnp.int32(1),
-                                                  jnp.int32(0))
-        return carry
+    # signs is a static python tuple — unrolled, no captured constants
+    delta = jnp.stack([jnp.exp(jnp.float32(sg) * dEb) - 1.0
+                       for sg in signs])                          # (F,)
+    r = 1.0 + delta * (1.0 - gii)                                 # (F,)
+    rprod = r[0]
+    for f in range(1, len(signs)):
+        rprod = rprod * r[f]
+    detratio = rprod ** det_power
+    w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+    p = w * detratio
+    accept = u_i < p                                              # scalar bool
 
-    # 32-bit loop bounds: under jax_enable_x64 a python-int fori index is
-    # int64, and int32->int64 conversion infinitely recurses in the Mosaic
-    # lowering fallback
-    lax.fori_loop(jnp.int32(0), jnp.int32(N), body, jnp.int32(0))
+    x = jnp.where(accept, delta / r, jnp.zeros_like(r))           # (F,)
+    IG = onehot_lane - col_i                                      # (F,N)
+    G_ref[...] = G - (x[:, None] * IG)[:, :, None] * row_i[:, None, :]
+
+    flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+    sigma_ref[...] = sigma_ref[...] * (
+        (flip - 1.0) * onehot_lane + 1.0)
+
+    inc = jnp.concatenate([
+        jnp.where(accept, onehot_lane, jnp.zeros_like(onehot_lane)),
+        jnp.where(detratio < 0, onehot_lane, jnp.zeros_like(onehot_lane)),
+    ], axis=0)                                                    # (2,N)
+    cnt_ref[...] = jnp.where(i == 0, inc, cnt_ref[...] + inc)
 
 
 @functools.partial(jax.jit, static_argnames=("lamb", "signs", "det_power",
@@ -107,29 +112,169 @@ def site_sweep_pallas(G, sigma, u, *, lamb, signs, det_power, use_boson):
     kern = functools.partial(_kernel, float(lamb), tuple(signs),
                              int(det_power), bool(use_boson), N, F)
     interpret = jax.default_backend() == "cpu"  # CPU: interpreter fallback
-    # sigma / uniforms / counters live in SMEM (scalar loads+stores are only
-    # legal there); G stays in VMEM
-    smem = {} if interpret else {"memory_space": pltpu.SMEM}
-    vmem = {} if interpret else {"memory_space": pltpu.VMEM}
-    sigma_out, G_out, acc, nneg = pl.pallas_call(
+    sigma_f = sigma.astype(jnp.float32)[None, :]
+    cnt0 = jnp.zeros((2, N), jnp.float32)
+    # NOTE: index maps must return i32 — under jax_enable_x64 a python-int 0
+    # traces as i64 and Mosaic dies on 'failed to legalize func.return
+    # (i64, i64)'. This was round 1's kernel-killing mystery.
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(jnp.int32(0) for _ in shape))
+    sigma_out, G_out, cnt = pl.pallas_call(
         kern,
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec(**smem),
-            pl.BlockSpec(**smem),
-            pl.BlockSpec(**vmem),
-        ],
-        out_specs=[
-            pl.BlockSpec(**smem),
-            pl.BlockSpec(**vmem),
-            pl.BlockSpec(**smem),
-            pl.BlockSpec(**smem),
-        ],
+        grid=(N,),
+        in_specs=[full((1, N)), full((1, N)), full((F, N, N)), full((2, N))],
+        out_specs=[full((1, N)), full((F, N, N)), full((2, N))],
         out_shape=[
-            jax.ShapeDtypeStruct((1, N), sigma.dtype),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
             jax.ShapeDtypeStruct((F, N, N), G.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, N), jnp.float32),
         ],
-    )(sigma[None, :], u[None, :], G)
-    return G_out, sigma_out[0], acc[0, 0], nneg[0, 0]
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+    )(u[None, :], sigma_f, G, cnt0)
+    acc = jnp.sum(cnt[0]).astype(jnp.int32)
+    nneg = jnp.sum(cnt[1]).astype(jnp.int32)
+    return G_out, sigma_out[0].astype(sigma.dtype), acc, nneg
+
+
+# ---------------------------------------------------------------------------
+# Chain-batched kernel: chains ride the VPU lanes
+# ---------------------------------------------------------------------------
+#
+# The per-chain kernel above is correct but serializes chains when vmapped
+# (vmap lifts the batch into the sequential TPU grid): measured 7x SLOWER
+# than the XLA path. The fused variant below keeps the whole chain batch
+# INSIDE the kernel block with layout (F, N, N, CB) — chains on the 128-wide
+# lane dimension — so every VPU op processes all chains of a block at once
+# while G stays resident in VMEM across the site loop (the XLA path instead
+# round-trips G through HBM on every site, making it HBM-bound).
+#
+# G's transpose is maintained alongside G so both the row (G[i, :]) and the
+# column (G[:, i]) are contiguous dynamic-outer-dim loads (dynamic LANE
+# indexing is unsupported by Mosaic, and masked full-G contractions would
+# triple the VPU work). Scalars-per-chain are (1, 1, CB) lane vectors;
+# sigma/u/counters are (N, 1, CB) so the per-site access is an outer-dim
+# dynamic slice.
+
+
+def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB,
+                    u_ref, _s_in, _G_in, _Gt_in,
+                    sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref):
+    """One grid step = one site i for one chain block (grid = (n_cb, N)).
+    sigma_ref (N,1,CB) f32 ±1; G_ref (F,N,N,CB); Gt_ref = swap(-3,-2) of G;
+    acc/nneg (N,1,CB) one-shot per-site writes."""
+    i = pl.program_id(1)
+    s = sigma_ref[pl.ds(i, 1)]                                # (1,1,CB)
+    u_i = u_ref[pl.ds(i, 1)]                                  # (1,1,CB)
+    dEb = jnp.float32(-2.0 * lamb) * s
+
+    onehot_j = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (1, N, 1), 1) == i,
+        jnp.float32(1.0), jnp.float32(0.0))                   # (1,N,1)
+
+    rows, cols, giis, deltas, rs = [], [], [], [], []
+    rprod = None
+    for f, sg in enumerate(signs):
+        row = G_ref[f, pl.ds(i, 1)]                           # (1,N,CB)
+        col = Gt_ref[f, pl.ds(i, 1)]                          # (1,N,CB)
+        gii = jnp.sum(row * onehot_j, axis=1, keepdims=True)  # (1,1,CB)
+        delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0
+        r = 1.0 + delta * (1.0 - gii)
+        rows.append(row); cols.append(col)
+        deltas.append(delta); rs.append(r)
+        rprod = r if rprod is None else rprod * r
+    detratio = rprod ** det_power                             # (1,1,CB)
+    w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+    accept = u_i < w * detratio                               # (1,1,CB)
+
+    for f in range(F):
+        x = jnp.where(accept, deltas[f] / rs[f],
+                      jnp.zeros_like(rs[f]))                  # (1,1,CB)
+        IG = onehot_j - cols[f]                               # (1,N,CB)
+        xIG = (x * IG).swapaxes(0, 1)                         # (N,1,CB)
+        rowb = rows[f]                                        # (1,N,CB)
+        G_ref[f] = G_ref[f] - xIG * rowb                      # (N,N,CB)
+        # transpose copy: Gt[b, a] -= row[b] * xIG[a]
+        Gt_ref[f] = Gt_ref[f] - rowb.swapaxes(0, 1) * (x * IG)
+
+    flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+    sigma_ref[pl.ds(i, 1)] = s * flip
+    one = jnp.ones_like(s)
+    zero = jnp.zeros_like(s)
+    acc_ref[pl.ds(i, 1)] = jnp.where(accept, one, zero)
+    nneg_ref[pl.ds(i, 1)] = jnp.where(detratio < 0, one, zero)
+
+
+def _pick_chain_block(C: int) -> int:
+    """Largest lane-friendly divisor of C (≤ 256 keeps G blocks ≤ 4 MB
+    within the ~16 MB VMEM together with the transpose copy and temps)."""
+    for cb in (256, 128, 64, 32, 16, 8):
+        if C % cb == 0:
+            return cb
+    return C
+
+
+def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson):
+    """Batched fused sweep. G: (C,F,N,N) f32, sigma: (C,N), u: (C,N).
+    Returns (G, sigma, acc (C,), nneg (C,))."""
+    C, F, N, _ = G.shape
+    CB = _pick_chain_block(C)
+    kern = functools.partial(_batched_kernel, float(lamb), tuple(signs),
+                             int(det_power), bool(use_boson), N, F, CB)
+    interpret = jax.default_backend() == "cpu"
+    Gk = jnp.transpose(G, (1, 2, 3, 0))                       # (F,N,N,C)
+    Gtk = jnp.transpose(G, (1, 3, 2, 0))
+    sig = jnp.transpose(sigma.astype(jnp.float32), (1, 0))[:, None, :]
+    uk = jnp.transpose(u, (1, 0))[:, None, :]                 # (N,1,C)
+    i32 = jnp.int32
+    bigspec = pl.BlockSpec((F, N, N, CB),
+                           lambda cb, i: (i32(0), i32(0), i32(0), cb))
+    rowspec = pl.BlockSpec((N, 1, CB), lambda cb, i: (i32(0), i32(0), cb))
+    sig_out, G_out, _Gt, accv, nnegv = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=(C // CB, N),
+        in_specs=[rowspec, rowspec, bigspec, bigspec],
+        out_specs=[rowspec, bigspec, bigspec, rowspec, rowspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((F, N, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((F, N, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
+        ],
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+    )(uk, sig, Gk, Gtk)
+    G_new = jnp.transpose(G_out, (3, 0, 1, 2))
+    sigma_new = sig_out[:, 0, :].T.astype(sigma.dtype)
+    acc = jnp.sum(accv[:, 0, :], axis=0).astype(jnp.int32)
+    nneg = jnp.sum(nnegv[:, 0, :], axis=0).astype(jnp.int32)
+    return G_new, sigma_new, acc, nneg
+
+
+_FUSED_CACHE = {}
+
+
+def get_fused_site_sweep(*, lamb, signs, det_power, use_boson):
+    """A per-chain site sweep whose vmap rule dispatches to the chain-batched
+    Pallas kernel (chains on lanes) instead of serializing chains through the
+    grid. Use inside vmapped sweeps: `fn(G, sigma, u)` with per-chain shapes."""
+    key = (float(lamb), tuple(signs), int(det_power), bool(use_boson))
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+    kw = dict(lamb=lamb, signs=signs, det_power=det_power, use_boson=use_boson)
+
+    @custom_vmap
+    def fused(G, sigma, u):
+        Gb, sb, acc, nneg = _site_sweep_batched(G[None], sigma[None],
+                                                u[None], **kw)
+        return Gb[0], sb[0], acc[0], nneg[0]
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, G, sigma, u):
+        assert all(in_batched), "fused site sweep expects all args batched"
+        out = _site_sweep_batched(G, sigma, u, **kw)
+        return out, (True, True, True, True)
+
+    _FUSED_CACHE[key] = fused
+    return fused
