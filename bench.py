@@ -7,6 +7,17 @@ matching the reference's sweep definition (run! loop, DQMC.jl:420-436).
 A secondary Ising spin-flips/sec metric (8x8, 256 chains) is included as an
 extra field.
 
+Sanity: `sanity_ok` is a CALIBRATED per-mode criterion (VERDICT r1 task 2),
+not an acceptance band. For f32 modes it is an on-device matched-seed
+cross-safe_mult validation (montecarlo_tpu.validation.cross_sm_check): the
+candidate mode must reproduce occupation AND the correlators (CDC, PC, SDCz)
+of the drift-proof safe_mult=1 anchor within 4 combined standard errors.
+For f64 the criterion is the reference's drift alarm (max window-end drift
+< 1e-6; reference threshold 1e-7 per stabilization, stack.jl:530-550).
+Window-end drift quantile diagnostics (mean + exceedance histogram over
+core.PROP_ERR_EDGES) are reported alongside. Set BENCH_VALIDATE=0 to skip
+the ~3 min cross-sm run (sanity_ok is then null, not true).
+
 vs_baseline: the reference (ffreyer/MonteCarlo.jl) publishes no numbers and
 Julia is not available in this image; the baseline is an estimate of the
 reference's single-core CPU throughput for this config: ~0.6 GFLOP/sweep of
@@ -34,14 +45,13 @@ SWEEPS = int(os.environ.get("BENCH_SWEEPS", "6"))
 # Default configuration: full-float32 propagation with safe_mult=10 and
 # full-precision f32 matmuls (set inside the library; TPU would otherwise
 # lower f32 matmuls to single bfloat16 MXU passes, whose wrap drift biases
-# the chain). Physics-validated on device (VALIDATION.md): half-filling
-# occupation unbiased at 4x4 AND 8x8, charge correlations consistent across
-# safe_mult = 1/5/10 at fixed seed, ED gate at beta=1, and all 5 dos Santos
-# PRB 48,3976 literature points. BENCH_DTYPE=float64 is the conservative
-# reference-equivalent mode.
+# the chain). Physics-validated on device (VALIDATION.md + the cross-sm
+# gate below). BENCH_DTYPE=float64 is the conservative reference-equivalent
+# mode.
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 SAFE_MULT = int(os.environ.get("BENCH_SAFE_MULT", "10"))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
+VALIDATE = os.environ.get("BENCH_VALIDATE", "1") == "1"
 
 
 def bench_dqmc():
@@ -66,9 +76,17 @@ def bench_dqmc():
         state, _, _ = sweep(state)
     jax.block_until_ready(state["G"])
     dt = time.time() - t0
-    prop_err = float(jnp.max(state["prop_err_max"]))
+    drift = {
+        "max": float(jnp.max(state["prop_err_max"])),
+        "mean": float(jnp.sum(state["prop_err_sum"]) /
+                      jnp.maximum(1, jnp.sum(state["prop_err_n"]))),
+        "exceed_hist": [int(x) for x in
+                        jnp.sum(state["prop_err_hist"], axis=0)],
+        "exceed_edges": list(core.PROP_ERR_EDGES),
+        "n_windows": int(jnp.sum(state["prop_err_n"])),
+    }
     acc = float(jnp.sum(state["acc"])) / float(jnp.sum(state["prop"]))
-    return N_CHAINS * SWEEPS / dt, dt / SWEEPS, prop_err, acc
+    return N_CHAINS * SWEEPS / dt, dt / SWEEPS, drift, acc
 
 
 def bench_ising():
@@ -88,17 +106,26 @@ def bench_ising():
 
 
 def main():
-    sweeps_per_s, s_per_sweep, prop_err, acc = bench_dqmc()
+    sweeps_per_s, s_per_sweep, drift, acc = bench_dqmc()
     try:
         ising_flips = bench_ising()
     except Exception:
         ising_flips = None
-    # f32 drift within a window is reset at every stabilization; the sanity
-    # band reflects each mode's validated envelope
-    # f32 mode: the drift monitor sees large mid-window transients by design
-    # (they are reset at every stabilization and validated not to bias
-    # observables — VALIDATION.md); sanity there is the acceptance band.
-    ok = (prop_err < 1e-6 if DTYPE == "float64" else True) and 0.3 < acc < 0.95
+
+    sanity = None
+    cross_sm = None
+    if DTYPE == "float64":
+        sanity = drift["max"] < 1e-6 and 0.3 < acc < 0.95
+    elif VALIDATE:
+        from montecarlo_tpu.validation import cross_sm_check
+        try:
+            cross_sm = cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
+                                      safe_mult=SAFE_MULT,
+                                      use_pallas=USE_PALLAS)
+            sanity = bool(cross_sm["ok"]) and 0.3 < acc < 0.95
+        except Exception as err:  # pragma: no cover
+            cross_sm = {"error": repr(err)}
+            sanity = False
     print(json.dumps({
         "metric": f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
                   f"{N_CHAINS} chains)",
@@ -107,11 +134,16 @@ def main():
         "vs_baseline": round(sweeps_per_s / BASELINE_EST_SWEEPS_PER_S, 3),
         "dtype": DTYPE,
         "safe_mult": SAFE_MULT,
+        "use_pallas": USE_PALLAS,
         "chains": N_CHAINS,
         "s_per_batched_sweep": round(s_per_sweep, 3),
-        "propagation_error_max": prop_err,
+        "propagation_drift": drift,
         "acceptance": round(acc, 4),
-        "sanity_ok": bool(ok),
+        "sanity_ok": sanity,
+        "cross_sm_validation": ({k: cross_sm[k] for k in
+                                 ("ok", "z", "z_tol", "candidate", "anchor")
+                                 if k in cross_sm}
+                                if isinstance(cross_sm, dict) else None),
         "ising_spin_flips_per_s": None if ising_flips is None else round(ising_flips),
         "baseline_estimate_note": "reference CPU single-core estimate, "
                                   "20 sweeps/s (no published numbers)",

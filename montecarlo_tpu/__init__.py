@@ -42,6 +42,7 @@ _EXPORTS = {
     "SquareLattice": "lattices", "CubicLattice": "lattices",
     "TriangularLattice": "lattices", "Honeycomb": "lattices",
     "GenericLattice": "lattices", "choose_lattice": "lattices",
+    "ALPSLattice": "lattices", "ArbitraryLattice": "lattices",
     "EachSite": "lattices", "EachSiteAndFlavor": "lattices", "OnSite": "lattices",
     "EachSitePair": "lattices", "EachSitePairByDistance": "lattices",
     "EachLocalQuadByDistance": "lattices", "EachLocalQuadBySyncedDistance": "lattices",

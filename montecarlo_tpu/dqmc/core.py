@@ -460,7 +460,33 @@ def init_state(ctx, consts, conf, key):
         "neg_prob": c0,
         "prop_err_max": jnp.zeros((), ctx.dtype),
         "prop_err_count": c0,
+        # window-end drift DISTRIBUTION, not just the max: sum/count give the
+        # mean, the histogram counts exceedances over PROP_ERR_EDGES. A single
+        # max is dominated by rare transients and says nothing about typical
+        # drift (VERDICT r1: f32 max ~3e3 looked alarming while the typical
+        # window drift is orders of magnitude smaller).
+        "prop_err_sum": jnp.zeros((), ctx.dtype),
+        "prop_err_n": c0,
+        "prop_err_hist": jnp.zeros((len(PROP_ERR_EDGES),), jnp.int32),
     }
+
+
+# exceedance edges for the propagation-drift histogram (per-mode diagnostics:
+# f64 healthy ≲ 1e-8; f32 window-end drift is reset every boundary and its
+# TYPICAL size is what matters for bias, not the max transient)
+PROP_ERR_EDGES = (1e-6, 1e-3, 1e-1, 1e1)
+
+
+def _track_prop_err(ctx, perr, diff):
+    """Update the drift statistics bundle with one window-end difference."""
+    pem, pec, pes, pen, hist = perr
+    pem = jnp.maximum(pem, diff)
+    pec = pec + (diff > ctx.prop_err_threshold).astype(jnp.int32)
+    pes = pes + diff.astype(pes.dtype)
+    pen = pen + 1
+    edges = jnp.asarray(PROP_ERR_EDGES, diff.dtype)
+    hist = hist + (diff > edges).astype(jnp.int32)
+    return (pem, pec, pes, pen, hist)
 
 
 def _scan_slices(ctx, consts, G, conf, key, counters, slice_list, direction):
@@ -506,8 +532,9 @@ def sweep_pair(ctx, consts, state):
     nneg = state["neg_prob"]
     n_seg, sm = ctx.n_seg, ctx.sm
 
-    pem = state["prop_err_max"]
-    pec = state["prop_err_count"]
+    perr = (state["prop_err_max"], state["prop_err_count"],
+            state["prop_err_sum"], state["prop_err_n"],
+            state["prop_err_hist"])
 
     # ------------------------------------------------------------ down sweep
     # entry: S[j] = left products UDT(B_{j*sm-1}...B_0).
@@ -522,7 +549,7 @@ def sweep_pair(ctx, consts, state):
     # unrolled): this keeps the traced graph at one segment body per
     # direction, an order of magnitude smaller to compile.
     def down_body(carry, j):
-        S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, pem, pec = carry
+        S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, perr = carry
         lU, lD, lT = S_U[j + 1], S_D[j + 1], S_T[j + 1]
         first = j == n_seg - 1
 
@@ -541,19 +568,17 @@ def sweep_pair(ctx, consts, state):
             # longest unstabilized window): init_state seeds a valid G, so no
             # first-sweep placeholder skip is needed (reference checks all
             # boundaries, stack.jl:530-550).
-            diff = jnp.max(jnp.abs(G - G_re))
-            pem = jnp.maximum(pem, diff)
-            pec = pec + (diff > ctx.prop_err_threshold).astype(jnp.int32)
+            perr = _track_prop_err(ctx, perr, jnp.max(jnp.abs(G - G_re)))
         G = G_re.astype(ctx.udtype)
         slices = jnp.arange(sm - 1, -1, -1) + j * sm       # descending
         G, conf, key, (acc, nneg) = _scan_slices(
             ctx, consts, G, conf, key, (acc, nneg), slices, direction=-1)
-        return (S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, pem, pec), None
+        return (S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, perr), None
 
     iU, iD, iT = _identity_udt(ctx)
-    carry = (S_U, S_D, S_T, G, conf, key, iU, iD, iT, acc, nneg, pem, pec)
+    carry = (S_U, S_D, S_T, G, conf, key, iU, iD, iT, acc, nneg, perr)
     carry, _ = lax.scan(down_body, carry, jnp.arange(n_seg - 1, -1, -1))
-    S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, pem, pec = carry
+    S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, perr = carry
     rU, rD, rT = extend_right(ctx, consts, conf, 0, rU, rD, rT)
     S_U = S_U.at[0].set(rU)
     S_D = S_D.at[0].set(rD)
@@ -585,14 +610,12 @@ def sweep_pair(ctx, consts, state):
     lU, lD, lT = extend_left(ctx, consts, conf, 0, lU, lD, lT)
 
     def up_body(carry, j):
-        S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec = carry
+        S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, perr = carry
         rU, rD, rT = S_U[j], S_D[j], S_T[j]
         G_re = calculate_greens(lU, lD, lT, rU, rD, rT,
                                 ctx.greens_udt_fn)    # G_eff(j*sm)
         if ctx.check_propagation_error:
-            diff = jnp.max(jnp.abs(G - G_re))
-            pem = jnp.maximum(pem, diff)
-            pec = pec + (diff > ctx.prop_err_threshold).astype(jnp.int32)
+            perr = _track_prop_err(ctx, perr, jnp.max(jnp.abs(G - G_re)))
         G = G_re.astype(ctx.udtype)
         S_U = S_U.at[j].set(lU)
         S_D = S_D.at[j].set(lD)
@@ -601,20 +624,22 @@ def sweep_pair(ctx, consts, state):
         G, conf, key, (acc, nneg) = _scan_slices(
             ctx, consts, G, conf, key, (acc, nneg), slices, direction=+1)
         lU, lD, lT = extend_left(ctx, consts, conf, j, lU, lD, lT)
-        return (S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec), None
+        return (S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, perr), None
 
     if n_seg > 1:
-        carry = (S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec)
+        carry = (S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, perr)
         carry, _ = lax.scan(up_body, carry, jnp.arange(1, n_seg))
-        S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, pem, pec = carry
+        S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, perr = carry
     S_U = S_U.at[n_seg].set(lU)
     S_D = S_D.at[n_seg].set(lD)
     S_T = S_T.at[n_seg].set(lT)
     # exit: S[j] = left products again
 
+    pem, pec, pes, pen, phist = perr
     state = dict(state)
     state.update(conf=conf, key=key, S_U=S_U, S_D=S_D, S_T=S_T, G=G,
                  acc=acc, neg_prob=nneg, prop_err_max=pem, prop_err_count=pec,
+                 prop_err_sum=pes, prop_err_n=pen, prop_err_hist=phist,
                  prop=state["prop"] + 2 * ctx.M * ctx.N)
     _prec.__exit__(None, None, None)
     return state, G_meas, conf_meas

@@ -47,6 +47,14 @@ class DQMCAnalysis:
     sweep_duration: float = 0.0
     negative_probability: MagnitudeStats = dataclasses.field(default_factory=MagnitudeStats)
     propagation_error: MagnitudeStats = dataclasses.field(default_factory=MagnitudeStats)
+    # window-end drift distribution (see core.PROP_ERR_EDGES)
+    prop_err_sum: float = 0.0
+    prop_err_n: int = 0
+    prop_err_hist: list = dataclasses.field(default_factory=lambda: [0, 0, 0, 0])
+
+    @property
+    def prop_err_mean(self):
+        return self.prop_err_sum / max(1, self.prop_err_n)
 
 
 class DQMC:
@@ -314,8 +322,15 @@ class DQMC:
             float(np.max(np.asarray(st["prop_err_max"]))))
         self.analysis.propagation_error.count += int(
             np.sum(np.asarray(st["prop_err_count"])))
+        self.analysis.prop_err_sum += float(np.sum(np.asarray(st["prop_err_sum"])))
+        self.analysis.prop_err_n += int(np.sum(np.asarray(st["prop_err_n"])))
+        self.analysis.prop_err_hist = [
+            a + int(b) for a, b in zip(
+                self.analysis.prop_err_hist,
+                np.sum(np.asarray(st["prop_err_hist"]), axis=0))]
         zeros = {k: jnp.zeros_like(st[k]) for k in
-                 ("prop", "acc", "neg_prob", "prop_err_max", "prop_err_count")}
+                 ("prop", "acc", "neg_prob", "prop_err_max", "prop_err_count",
+                  "prop_err_sum", "prop_err_n", "prop_err_hist")}
         self.state = {**st, **zeros}
 
     def _report_errors(self):

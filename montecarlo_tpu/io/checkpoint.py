@@ -68,6 +68,12 @@ def _reconstruct_model(model_info):
     cls = getattr(models, model_info["type"])
     params = dict(model_info["parameters"])
     lat = model_info.get("lattice")
+    if lat is not None and lat.get("kind") == "arbitrary":
+        from ..lattices.alps import ArbitraryLattice
+        params["l"] = ArbitraryLattice.from_state(lat)
+        params.pop("L", None)
+        params.pop("dims", None)
+        return cls(**params)
     if lat is not None:
         uc = UnitCell(
             name=lat["name"],

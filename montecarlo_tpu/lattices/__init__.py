@@ -1,4 +1,5 @@
 from .lattice import Lattice, UnitCell
+from .alps import ALPSLattice, ArbitraryLattice
 from .library import (
     Chain, SquareLattice, CubicLattice, TriangularLattice, Honeycomb,
     GenericLattice, choose_lattice,

@@ -54,8 +54,10 @@ class _HubbardBase(Model):
         self.mu = float(mu)
 
     def parameters(self) -> Dict:
-        return {"dims": self.lattice.dim, "L": self.lattice.shape[0],
-                "t": self.t, "U": self.U, "mu": self.mu}
+        p = {"t": self.t, "U": self.U, "mu": self.mu}
+        if hasattr(self.lattice, "unitcell"):
+            p.update(dims=self.lattice.dim, L=self.lattice.shape[0])
+        return p
 
     # ------------------------------------------------------------------ conf
     def rand_conf(self, key, n_chains: int, n_slices: int):
