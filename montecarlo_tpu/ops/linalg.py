@@ -58,7 +58,10 @@ def udt_dirty(A):
     piv = jnp.argsort(-norms, axis=-1)
     Ap = jnp.take_along_axis(As, piv[..., None, :], axis=-1)
     Q, R = jnp.linalg.qr(Ap)
-    d = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1).real)
+    # complex-correct: D = |r_ii| (the complex modulus — the phase stays in
+    # T's unit-MAGNITUDE diagonal; reference complex udt_AVX_pivot!,
+    # src/linalg/UDT.jl:316-469)
+    d = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
     # Floor for flushed-to-zero residuals. On TPU the f64 'tiny' constant
     # (2.2e-308) is itself below double-float range and silently becomes 0,
     # so use a floor inside the f32 exponent window there: 2^-70 relative to
@@ -101,7 +104,7 @@ def udt_dirty_colscaled(A):
     sp = jnp.take_along_axis(s, piv, axis=-1)
     Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1) / sp[..., None, :]
     Q, R = jnp.linalg.qr(Ap)
-    dhat = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1).real)
+    dhat = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
     dhat = jnp.maximum(dhat, jnp.finfo(dhat.dtype).eps ** 2)
     d = dhat * sp
     n = R.shape[-1]

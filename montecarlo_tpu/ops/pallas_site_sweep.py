@@ -158,12 +158,24 @@ def site_sweep_pallas(G, sigma, u, *, lamb, signs, det_power, use_boson):
 
 
 def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB,
-                    u_ref, _s_in, _G_in, _Gt_in,
+                    u_ref, s_in, G_in, Gt_in,
                     sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref):
     """One grid step = one site i for one chain block (grid = (n_cb, N)).
     sigma_ref (N,1,CB) f32 ±1; G_ref (F,N,N,CB); Gt_ref = swap(-3,-2) of G;
-    acc/nneg (N,1,CB) one-shot per-site writes."""
+    acc/nneg (N,1,CB) one-shot per-site writes.
+
+    NOTE: inputs are NOT aliased onto the outputs — input_output_aliases on
+    this call corrupted the chain state when the pallas call sat inside a
+    lax.scan body with a lax.cond measurement branch (on-device bias repro:
+    occ 0.99 vs 0.50; clean without the cond). The state is copied into the
+    output refs at the first site step instead."""
     i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        sigma_ref[...] = s_in[...]
+        G_ref[...] = G_in[...]
+        Gt_ref[...] = Gt_in[...]
     s = sigma_ref[pl.ds(i, 1)]                                # (1,1,CB)
     u_i = u_ref[pl.ds(i, 1)]                                  # (1,1,CB)
     dEb = jnp.float32(-2.0 * lamb) * s
@@ -243,7 +255,6 @@ def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson):
             jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
             jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
         ],
-        input_output_aliases={1: 0, 2: 1, 3: 2},
     )(uk, sig, Gk, Gtk)
     G_new = jnp.transpose(G_out, (3, 0, 1, 2))
     sigma_new = sig_out[:, 0, :].T.astype(sigma.dtype)

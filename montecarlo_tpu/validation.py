@@ -42,9 +42,14 @@ def _run_one(model_kwargs, dqmc_kwargs, observables=("occ", "CDC", "PC", "SDCz")
     obs = mc.observables()
     for key in obs:
         for name, res in obs[key].items():
-            if hasattr(res, "mean"):
-                out[f"{key}/{name}"] = (np.asarray(res.mean),
-                                        np.asarray(res.std_error))
+            if hasattr(res, "per_chain_mean"):
+                # cross-chain statistics: chains are INDEPENDENT, so the
+                # empirical scatter of per-chain means gives an
+                # autocorrelation-free standard error of the pooled mean
+                pc = np.asarray(res.per_chain_mean)
+                C = pc.shape[0]
+                out[f"{key}/{name}"] = (pc.mean(axis=0),
+                                        pc.std(axis=0, ddof=1) / np.sqrt(C))
     out["_acc"] = mc.analysis.acc_rate
     out["_perr_mean"] = mc.analysis.prop_err_mean
     out["_perr_hist"] = list(mc.analysis.prop_err_hist)
@@ -56,15 +61,21 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                    safe_mult: int = 10, anchor_sm: int = 1,
                    n_chains: int = 64, sweeps: int = 300,
                    thermalization: int = 100, seed: int = 123,
-                   z_tol: float = 4.0, use_pallas: bool = False) -> Dict:
+                   alpha: float = 0.01, use_pallas: bool = False) -> Dict:
     """Matched-seed comparison of the candidate (dtype, safe_mult) mode
     against the drift-proof anchor (same dtype, safe_mult=anchor_sm).
 
-    Returns {"ok": bool, "z": {obs: max z-score}, "acc": ..., drift stats}.
-    A mode passes when every compared observable agrees within z_tol
-    combined standard errors (z_tol=4 keeps the false-alarm rate of the
-    many-component comparison negligible while catching the ~5-sigma
-    occupation bias that single-pass bf16 matmuls caused in round 1).
+    Returns {"ok": bool, "z": {obs: max z-score}, per-observable
+    Bonferroni-scaled thresholds, acc + drift stats}. Standard errors are
+    the empirical cross-chain scatter (chains are independent, so no
+    autocorrelation correction is needed), and each observable's alarm
+    threshold accounts for its number of components: the max of n standard
+    normals is ~sqrt(2 ln n), so a flat cutoff would false-alarm on the
+    4096-component Green's function while being too lax on scalars. The
+    per-observable cutoff is the two-sided Bonferroni quantile
+    sqrt(2 ln(2 n / alpha)) — ~3.3 for a scalar, ~5.3 at n=4096 —
+    which still catches the ~5-sigma occupation bias that single-pass
+    bf16 matmuls caused in round 1.
     """
     import jax.numpy as jnp
 
@@ -75,7 +86,8 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                   use_pallas=use_pallas)
     cand = _run_one(mk, dict(common, safe_mult=safe_mult))
     anch = _run_one(mk, dict(common, safe_mult=anchor_sm))
-    zs = {}
+    zs, tols = {}, {}
+    ok = True
     for key in cand:
         if key.startswith("_"):
             continue
@@ -83,12 +95,14 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
         m2, e2 = anch[key]
         err = np.sqrt(e1 ** 2 + e2 ** 2)
         err = np.maximum(err, 1e-12)
+        n_comp = int(np.size(m1))
         zs[key] = float(np.max(np.abs(m1 - m2) / err))
-    ok = all(z < z_tol for z in zs.values())
+        tols[key] = float(np.sqrt(2.0 * np.log(2.0 * n_comp / alpha)))
+        ok = ok and zs[key] < tols[key]
     return {
         "ok": bool(ok),
         "z": zs,
-        "z_tol": z_tol,
+        "z_tol": tols,
         "candidate": {"safe_mult": safe_mult, "acc": cand["_acc"],
                       "perr_mean": cand["_perr_mean"],
                       "perr_hist": cand["_perr_hist"]},

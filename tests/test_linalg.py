@@ -119,3 +119,42 @@ def test_udt_mul_udt():
     B = rand(10, 8)
     U, D, T = udt_mul_udt(*udt(A), *udt(B))
     assert np.allclose(np.asarray(U @ jnp.diag(D) @ T), np.asarray(A @ B), atol=1e-10)
+
+
+def test_udt_complex():
+    """Complex-dtype parity of the UDT layer (reference carries complex
+    reflector/UDT paths, src/linalg/UDT.jl:316-469): reconstruction and
+    calculate_greens on ill-conditioned complex products."""
+    from montecarlo_tpu.ops.linalg import (udt_dirty, udt_dirty_colscaled,
+                                           scatter_columns, calculate_greens)
+    rng = np.random.default_rng(5)
+
+    def rand_graded_complex(n, decades):
+        scales = np.logspace(-decades / 2, decades / 2, n)
+        A = (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))) * scales[None, :]
+        return jnp.asarray(A)
+
+    for fn in (udt_dirty, udt_dirty_colscaled):
+        A = rand_graded_complex(16, 12)
+        U, D, R, piv = fn(A)
+        # U unitary, D positive real, T unit-magnitude diagonal
+        assert np.allclose(np.asarray(U.conj().T @ U), np.eye(16), atol=1e-12)
+        assert np.all(np.asarray(D) > 0) and not np.iscomplexobj(np.asarray(D))
+        T = scatter_columns(R, piv)
+        diag = np.abs(np.diagonal(np.asarray(R)))
+        assert np.allclose(diag, 1.0, atol=1e-10)
+        recon = np.asarray((U * D[None, :]) @ T)
+        assert np.max(np.abs(recon - np.asarray(A))) / np.max(np.abs(np.asarray(A))) < 1e-12
+
+    # calculate_greens on complex UDT pairs vs direct inversion
+    Al = rand_graded_complex(12, 6)
+    Ar = rand_graded_complex(12, 6)
+    Ul, Dl, Rl, pl_ = udt_dirty(Al)
+    Ur, Dr, Rr, pr = udt_dirty(Ar)
+    Tl = scatter_columns(Rl, pl_)
+    Tr = scatter_columns(Rr, pr)
+    G = calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr)
+    direct = np.linalg.inv(np.eye(12) + np.asarray(Al) @ np.asarray(Ar).conj().T)
+    # the unstabilized direct inverse itself carries ~cond*eps error at
+    # cond ~ 1e12; 1e-6 agreement certifies the stabilized path
+    assert np.max(np.abs(np.asarray(G) - direct)) < 1e-6
