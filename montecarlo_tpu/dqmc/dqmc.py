@@ -212,9 +212,18 @@ class DQMC:
             dtau = self.parameters.delta_tau
 
             def per_chain(c, G00_eff, G00_phys):
-                acc0 = {k: {name: jnp.zeros(shape, jnp.float64)
-                            for name, shape in m.obs_shapes.items()}
-                        for k, m in comb}
+                # Measurements with combined_acc_shapes carry raw kernel-
+                # matrix accumulators (Green's dtype) through the l-scan and
+                # reduce them once afterwards; the rest sum their binned
+                # contributions directly in float64.
+                acc0 = {}
+                for k, m in comb:
+                    if m.combined_acc_shapes is not None:
+                        acc0[k] = {n: jnp.zeros(s, ctx.dtype)
+                                   for n, s in m.combined_acc_shapes.items()}
+                    else:
+                        acc0[k] = {n: jnp.zeros(s, jnp.float64)
+                                   for n, s in m.obs_shapes.items()}
 
                 def step_fn(acc, G0l, Gl0, Gll):
                     out = dict(acc)
@@ -226,6 +235,9 @@ class DQMC:
 
                 acc = ut.combined_greens_apply(ctx, consts, c, G00_eff,
                                                acc0, step_fn)
+                acc = {k: (m.combined_finish_fn(acc[k])
+                           if m.combined_finish_fn is not None else acc[k])
+                       for k, m in comb}
                 # finish! integral weight factor = delta_tau
                 # (reference: generic.jl:240 + :279-294)
                 return jax.tree_util.tree_map(lambda x: x * dtau, acc)

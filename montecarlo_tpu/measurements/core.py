@@ -52,6 +52,15 @@ class Measurement:
     #                sums it over l = 1..M and multiplies by delta_tau
     kind: str = "equal"
     greens_at: Optional[Tuple[int, int]] = None
+    # Combined (susceptibility) fast path: when set, the driver carries RAW
+    # kernel-matrix accumulators of these shapes (in the Green's-function
+    # dtype) through the l-scan and applies ``combined_finish_fn(acc)`` ONCE
+    # after the scan to reduce them to obs_shapes — moving the direction
+    # binning out of the τ-loop (M× fewer binning contractions; the binning
+    # itself is a one-hot matmul on the MXU). When None, measure_fn's
+    # contributions are summed directly into float64 obs_shapes accumulators.
+    combined_acc_shapes: Optional[Dict[str, Tuple[int, ...]]] = None
+    combined_finish_fn: Optional[Callable] = None
     # filled at bind time
     binners: Dict[str, LogBinner] = field(default_factory=dict)
 

@@ -100,8 +100,36 @@ def mz_vector(G):
 
 
 # ------------------------------------------------------------- reductions
-def _segment_by_dir(K, pair_dir_flat, n_dirs, N):
-    return jax.ops.segment_sum(K.reshape(-1), pair_dir_flat, n_dirs) / N
+def _dir_onehot(lat):
+    """One-hot direction-binning matrix P of shape (N², n_dirs):
+    P[i·N+j, d] = 1 iff dir(i, j) == d. The EachSitePairByDistance reduction
+    (reference: generic.jl:331-336) becomes ``K.reshape(N²) @ P / N`` — an MXU
+    matmul instead of a VPU scatter (segment_sum)."""
+    N = len(lat)
+    P = np.zeros((N * N, lat.n_dirs), np.float32)
+    P[np.arange(N * N), lat.pair_dir.reshape(-1)] = 1.0
+    return P
+
+
+def _bin_by_dir(K, P_np, N):
+    """Reduce (..., N, N) kernel matrices over direction bins → (..., n_dirs)."""
+    P = jnp.asarray(P_np, K.dtype)
+    return K.reshape(K.shape[:-2] + (N * N,)) @ P / N
+
+
+def _selection_matrices(lat, K):
+    """One-hot target-selection matrices S of shape (K, N, N):
+    S[k, s, trg(s, k)] = 1 where the k-th direction target exists (else the
+    row is zero, which reproduces the reference's validity mask). Gathers like
+    G[trg(s1,k1), trg(s2,k2)] become S_{k1} @ G @ S_{k2}ᵀ — MXU matmuls
+    (reference quad iterators: EachLocalQuadByDistance,
+    lattice_iterators.jl:258-355)."""
+    N = len(lat)
+    trg, mask = lat.target_by_direction(K)
+    S = np.zeros((K, N, N), np.float32)
+    kk, ss = np.meshgrid(np.arange(K), np.arange(N), indexing="ij")
+    S[kk, ss, np.where(mask, trg, 0).T] = mask.T
+    return S
 
 
 # ------------------------------------------------- time-displaced kernel mats
@@ -195,14 +223,12 @@ def boson_energy_measurement(mc, model, **kwargs) -> Measurement:
 def _by_distance_measurement(mc, model, name, matrix_fn: Callable) -> Measurement:
     lat = model.lattice
     N = len(lat)
-    pair_dir_flat = jnp.asarray(lat.pair_dir.reshape(-1), jnp.int32)
+    P_np = _dir_onehot(lat)
     n_dirs = lat.n_dirs
 
     def measure(greens, **_):
-        def per_chain(G):
-            K = matrix_fn(G)
-            return _segment_by_dir(K, pair_dir_flat, n_dirs, N)
-        return {name: jax.vmap(per_chain)(greens)}
+        K = jax.vmap(matrix_fn)(greens)
+        return {name: _bin_by_dir(K, P_np, N)}
 
     return Measurement(name, {name: (n_dirs,)}, measure)
 
@@ -251,14 +277,18 @@ def spin_density_susceptibility(mc, model, dir: str, **kwargs) -> Measurement:
 def _by_distance_susceptibility(mc, model, name, matrix4_fn) -> Measurement:
     lat = model.lattice
     N = len(lat)
-    pair_dir_flat = jnp.asarray(lat.pair_dir.reshape(-1), jnp.int32)
+    P_np = _dir_onehot(lat)
     n_dirs = lat.n_dirs
 
     def step(G00, G0l, Gl0, Gll, **_):
-        K = matrix4_fn(G00, G0l, Gl0, Gll)
-        return {name: _segment_by_dir(K, pair_dir_flat, n_dirs, N)}
+        return {name: matrix4_fn(G00, G0l, Gl0, Gll)}
 
-    return Measurement(name, {name: (n_dirs,)}, step, kind="combined")
+    def finish(acc):
+        return {name: _bin_by_dir(acc[name], P_np, N)}
+
+    return Measurement(name, {name: (n_dirs,)}, step, kind="combined",
+                       combined_acc_shapes={name: (N, N)},
+                       combined_finish_fn=finish)
 
 
 def pairing_susceptibility(mc, model, K: int = None, **kwargs) -> Measurement:
@@ -269,29 +299,26 @@ def pairing_susceptibility(mc, model, K: int = None, **kwargs) -> Measurement:
     N = len(lat)
     if K is None:
         K = 1 + lat.coordination
-    trg, mask = lat.target_by_direction(K)
-    trg_j = jnp.asarray(np.where(mask, trg, 0), jnp.int32)
-    mask_j = jnp.asarray(mask)
-    pair_dir_flat = jnp.asarray(lat.pair_dir.reshape(-1), jnp.int32)
+    S_np = _selection_matrices(lat, K)
+    P_np = _dir_onehot(lat)
     n_dirs = lat.n_dirs
 
     def step(G00, G0l, Gl0, Gll, **_):
         Gl0u, Gl0d = _blocks(Gl0)
-        out = []
-        for k1 in range(K):
-            row = []
-            for k2 in range(K):
-                t1 = trg_j[:, k1]
-                t2 = trg_j[:, k2]
-                Kmat = Gl0u * Gl0d[t1[:, None], t2[None, :]]
-                valid = (mask_j[:, k1][:, None] & mask_j[:, k2][None, :])
-                Kmat = jnp.where(valid, Kmat, 0.0)
-                row.append(_segment_by_dir(Kmat, pair_dir_flat, n_dirs, N))
-            out.append(jnp.stack(row, -1))
-        return {"ps": jnp.stack(out, -2)}
+        S = jnp.asarray(S_np, Gl0u.dtype)
+        # Gl0d[t1(s1,k1), t2(s2,k2)] = (S_{k1} Gl0d S_{k2}ᵀ)[s1, s2]
+        B = jnp.einsum("kab,bc->kac", S, Gl0d)
+        C = jnp.einsum("kac,qbc->kqab", B, S)
+        return {"ps": Gl0u[None, None] * C}
+
+    def finish(acc):
+        # (K, K, n_dirs) → (n_dirs, K, K)
+        return {"ps": jnp.moveaxis(_bin_by_dir(acc["ps"], P_np, N), -1, 0)}
 
     return Measurement("pairing_susceptibility", {"ps": (n_dirs, K, K)}, step,
-                       kind="combined")
+                       kind="combined",
+                       combined_acc_shapes={"ps": (K, K, N, N)},
+                       combined_finish_fn=finish)
 
 
 def current_current_susceptibility(mc, model, K: int = None, **kwargs) -> Measurement:
@@ -311,58 +338,78 @@ def current_current_susceptibility(mc, model, K: int = None, **kwargs) -> Measur
     N = len(lat)
     if K is None:
         K = 1 + lat.coordination
+    S_np = _selection_matrices(lat, K)
+    P_np = _dir_onehot(lat)
     trg, mask = lat.target_by_direction(K)
     trg_np = np.where(mask, trg, 0)
-    trg_j = jnp.asarray(trg_np, jnp.int32)
-    mask_j = jnp.asarray(mask)
-    pair_dir_flat = jnp.asarray(lat.pair_dir.reshape(-1), jnp.int32)
     n_dirs = lat.n_dirs
-    T_host = model.hopping_matrix()
-    # per direction k: hopping elements along/against the bond
-    T_st = jnp.asarray(np.stack([T_host[np.arange(N), trg_np[:, k]]
-                                 for k in range(K)], -1))  # T[s, t(s,k)]
-    T_ts = jnp.asarray(np.stack([T_host[trg_np[:, k], np.arange(N)]
-                                 for k in range(K)], -1))  # T[t(s,k), s]
+    T_host = np.asarray(model.hopping_matrix())
+    # per direction k: hopping elements along/against the bond, (K, N)
+    T_st_np = np.stack([T_host[np.arange(N), trg_np[:, k]]
+                        for k in range(K)], 0)  # T[s, t(s,k)]
+    T_ts_np = np.stack([T_host[trg_np[:, k], np.arange(N)]
+                        for k in range(K)], 0)  # T[t(s,k), s]
+
+    def _dedup(G):
+        """(unique flavor blocks, multiplicity) of a (F, N, N) Green's
+        function — attractive F=1 has G_up ≡ G_dn, so compute once, weight
+        by 2 (reference collapses these kernels the same way,
+        HubbardModelAttractive.jl:219-267)."""
+        if G.shape[0] == 1:
+            return [G[0]], 2.0
+        return [G[0], G[-1]], 1.0
 
     def step(G00, G0l, Gl0, Gll, **_):
-        blocks0 = _blocks(G00)
-        blocksL = _blocks(Gll)
-        blocks0l = _blocks(G0l)
-        blocksl0 = _blocks(Gl0)
-        out = []
-        for k in range(K):
-            t = trg_j[:, k]
-            tst = T_st[:, k]   # T[s, t]
-            tts = T_ts[:, k]   # T[t, s]
-            # current densities j_b at time l (from Gll) and 0 (from G00)
-            jl = sum(tst * Gb[t, jnp.arange(N)] - tts * Gb[jnp.arange(N), t]
-                     for Gb in blocksL)
-            j0 = sum(tst * Gb[t, jnp.arange(N)] - tts * Gb[jnp.arange(N), t]
-                     for Gb in blocks0)
-            Kmat = jl[:, None] * j0[None, :]
-            for G0b, Gl0b in zip(blocks0l, blocksl0):
-                # rows indexed by s1 (and t1 = t[s1]), cols by s2 (t2 = t[s2])
-                G0l_s2_t1 = G0b.T[t, :]          # [s1, s2] = G0l[s2, t1]
-                G0l_s2_s1 = G0b.T                # [s1, s2] = G0l[s2, s1]
-                G0l_t2_t1 = G0b.T[t][:, t]       # [s1, s2] = G0l[t2, t1]
-                G0l_t2_s1 = G0b.T[:, t]          # [s1, s2] = G0l[t2, s1]
-                Gl0_s1_t2 = Gl0b[:, t]           # [s1, s2] = Gl0[s1, t2]
-                Gl0_t1_t2 = Gl0b[t][:, t]        # [s1, s2] = Gl0[t1, t2]
-                Gl0_s1_s2 = Gl0b                 # [s1, s2] = Gl0[s1, s2]
-                Gl0_t1_s2 = Gl0b[t, :]           # [s1, s2] = Gl0[t1, s2]
-                Kmat = Kmat + (
-                    (tts[:, None] * tts[None, :]) * (-G0l_s2_t1) * Gl0_s1_t2
-                    - (tst[:, None] * tts[None, :]) * (-G0l_s2_s1) * Gl0_t1_t2
-                    - (tts[:, None] * tst[None, :]) * (-G0l_t2_t1) * Gl0_s1_s2
-                    + (tst[:, None] * tst[None, :]) * (-G0l_t2_s1) * Gl0_t1_s2
-                )
-            valid = mask_j[:, k][:, None] & mask_j[:, k][None, :]
-            Kmat = jnp.where(valid, Kmat, 0.0)
-            out.append(_segment_by_dir(Kmat, pair_dir_flat, n_dirs, N))
-        return {"ccs": jnp.stack(out, -1)}
+        """All quad gathers expressed through the one-hot selection matrices
+        S_k (zero rows mask invalid targets, standing in for the reference's
+        validity mask): X[t(s1,k), ·] = (S_k X)[s1, ·] etc. Everything is a
+        (K,·)-batched N×N matmul on the MXU; the hopping constants are cast
+        to the Green's dtype so an f32 session never promotes to (emulated)
+        f64."""
+        dt = Gl0.dtype
+        S = jnp.asarray(S_np, dt)                       # (K, N, N)
+        tst = jnp.asarray(T_st_np, dt)                  # (K, N) = T[s, t]
+        tts = jnp.asarray(T_ts_np, dt)                  # (K, N) = T[t, s]
+
+        def j_density(G):
+            bs, mult = _dedup(G)
+            total = 0.0
+            for Gb in bs:
+                d1 = jnp.einsum("ksa,as->ks", S, Gb)    # Gb[t(s,k), s]
+                d2 = jnp.einsum("sa,ksa->ks", Gb, S)    # Gb[s, t(s,k)]
+                total = total + (tst * d1 - tts * d2)
+            return mult * total                          # (K, N)
+
+        jl = j_density(Gll)
+        j0 = j_density(G00)
+        Kmat = jl[:, :, None] * j0[:, None, :]           # (K, N, N)
+
+        b0l, mult = _dedup(G0l)
+        bl0, _ = _dedup(Gl0)
+        for G0b, Gl0b in zip(b0l, bl0):
+            G0T = G0b.T
+            A1 = jnp.einsum("kab,bc->kac", S, G0T)       # G0l[s2, t1]
+            A3 = jnp.einsum("kab,kcb->kac", A1, S)       # G0l[t2, t1]
+            B1 = jnp.einsum("ab,kcb->kac", G0T, S)       # G0l[t2, s1]
+            A4 = jnp.einsum("kab,bc->kac", S, Gl0b)      # Gl0[t1, s2]
+            A5 = jnp.einsum("kab,kcb->kac", A4, S)       # Gl0[t1, t2]
+            B2 = jnp.einsum("ab,kcb->kac", Gl0b, S)      # Gl0[s1, t2]
+            Kmat = Kmat + mult * (
+                (tts[:, :, None] * tts[:, None, :]) * (-A1) * B2
+                - (tst[:, :, None] * tts[:, None, :]) * (-G0T)[None] * A5
+                - (tts[:, :, None] * tst[:, None, :]) * (-A3) * Gl0b[None]
+                + (tst[:, :, None] * tst[:, None, :]) * (-B1) * A4
+            )
+        return {"ccs": Kmat}
+
+    def finish(acc):
+        # (K, n_dirs) → (n_dirs, K)
+        return {"ccs": _bin_by_dir(acc["ccs"], P_np, N).T}
 
     return Measurement("current_current_susceptibility",
-                       {"ccs": (n_dirs, K)}, step, kind="combined")
+                       {"ccs": (n_dirs, K)}, step, kind="combined",
+                       combined_acc_shapes={"ccs": (K, N, N)},
+                       combined_finish_fn=finish)
 
 
 def pairing_correlation(mc, model, K: int = None, **kwargs) -> Measurement:
@@ -374,27 +421,19 @@ def pairing_correlation(mc, model, K: int = None, **kwargs) -> Measurement:
     N = len(lat)
     if K is None:
         K = 1 + lat.coordination
-    trg, mask = lat.target_by_direction(K)
-    trg_j = jnp.asarray(np.where(mask, trg, 0), jnp.int32)
-    mask_j = jnp.asarray(mask)
-    pair_dir_flat = jnp.asarray(lat.pair_dir.reshape(-1), jnp.int32)
+    S_np = _selection_matrices(lat, K)
+    P_np = _dir_onehot(lat)
     n_dirs = lat.n_dirs
 
     def measure(greens, **_):
         def per_chain(G):
             Gu, Gd = _blocks(G)
-            out = []
-            for k1 in range(K):
-                row = []
-                for k2 in range(K):
-                    t1 = trg_j[:, k1]
-                    t2 = trg_j[:, k2]
-                    Kmat = Gu * Gd[t1[:, None], t2[None, :]]
-                    valid = (mask_j[:, k1][:, None] & mask_j[:, k2][None, :])
-                    Kmat = jnp.where(valid, Kmat, 0.0)
-                    row.append(_segment_by_dir(Kmat, pair_dir_flat, n_dirs, N))
-                out.append(jnp.stack(row, -1))
-            return jnp.stack(out, -2)  # (n_dirs, K, K)
+            S = jnp.asarray(S_np, Gu.dtype)
+            # Gd[t1(s1,k1), t2(s2,k2)] = (S_{k1} Gd S_{k2}ᵀ)[s1, s2]
+            B = jnp.einsum("kab,bc->kac", S, Gd)
+            C = jnp.einsum("kac,qbc->kqab", B, S)
+            binned = _bin_by_dir(Gu[None, None] * C, P_np, N)
+            return jnp.moveaxis(binned, -1, 0)  # (n_dirs, K, K)
         return {"pc": jax.vmap(per_chain)(greens)}
 
     return Measurement("pairing_correlation", {"pc": (n_dirs, K, K)}, measure)
