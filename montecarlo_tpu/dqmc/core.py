@@ -108,6 +108,20 @@ class DQMCContext:
         return self.update_dtype if self.update_dtype is not None else self.dtype
 
     @property
+    def is_complex(self):
+        return jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating)
+
+    @property
+    def rdtype(self):
+        """Real counterpart of dtype (D factors, drift stats, uniforms)."""
+        return jnp.zeros((), self.dtype).real.dtype
+
+    @property
+    def urdtype(self):
+        """Real counterpart of the update dtype."""
+        return jnp.zeros((), self.udtype).real.dtype
+
+    @property
     def n_seg(self):
         return self.M // self.sm
 
@@ -132,8 +146,19 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     (reference: init_checkerboard_matrices, stack.jl:185-235 + CBTrue
     multiplies; O(dtau^2) Trotter systematics, exact inverses).
     """
-    T = model.hopping_matrix()
+    T = np.asarray(model.hopping_matrix())
     dtau = params.delta_tau
+    # Complex Hermitian hopping (Peierls phases / flux): promote the session
+    # dtypes to their complex counterparts (reference: greenseltype hook,
+    # src/flavors/DQMC/DQMC_optional.jl:7-40 + complex UDT paths,
+    # src/linalg/UDT.jl:316-469).
+    if np.iscomplexobj(T):
+        _cplx = {np.dtype(np.float32): jnp.complex64,
+                 np.dtype(np.float64): jnp.complex128}
+        dtype = _cplx.get(np.dtype(dtype), jnp.dtype(dtype))
+        if update_dtype is not None:
+            update_dtype = _cplx.get(np.dtype(update_dtype),
+                                     jnp.dtype(update_dtype))
     if checkerboard:
         from .checkerboard import assemble_dense_operator
         f64 = jnp.float64
@@ -145,7 +170,7 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
         eThalf_m, eThalfinv_m = np.asarray(eThalf_m), np.asarray(eThalfinv_m)
     else:
         w, V = np.linalg.eigh(T)
-        expm = lambda c: (V * np.exp(c * w)[None, :]) @ V.T
+        expm = lambda c: (V * np.exp(c * w)[None, :]) @ V.conj().T
         eT2_m, eT2inv_m = expm(-dtau), expm(dtau)
         eThalf_m, eThalfinv_m = expm(-0.5 * dtau), expm(0.5 * dtau)
     udtype = dtype if update_dtype is None else update_dtype
@@ -195,8 +220,10 @@ def _signs(ctx, dtype=None):
 
 
 def eV_diag(ctx, sigma_l, power=1.0, dtype=None):
-    """diag of exp(-power*dtau*V(l)) as (F, N). sigma_l: (N,) int8."""
-    dtype = dtype or ctx.dtype
+    """diag of exp(-power*dtau*V(l)) as (F, N). sigma_l: (N,) int8.
+    Always REAL (the Hirsch factor is real even for complex hopping);
+    broadcasting promotes against complex propagators."""
+    dtype = jnp.zeros((), dtype or ctx.dtype).real.dtype
     s = sigma_l.astype(dtype)
     return jnp.exp(dtype.type(power * ctx.lamb) * _signs(ctx, dtype)[:, None] * s[None, :])
 
@@ -226,9 +253,10 @@ def mult_B_inv_right(ctx, consts, sigma_l, M):
 
 
 def mult_B_dagger_left(ctx, consts, sigma_l, M):
-    """M ← B_l^† M = diag(eV) · eT2^T · M (all factors real)."""
+    """M ← B_l^† M = diag(eV) · eT2^† · M (eV real; eT2^† = eT2.conj().T,
+    a no-op transpose for the real symmetric case)."""
     eV = eV_diag(ctx, sigma_l)
-    return eV[:, :, None] * (consts["eT2"].T @ M)
+    return eV[:, :, None] * (consts["eT2"].T.conj() @ M)
 
 
 def wrap_up(ctx, consts, sigma_l, G):
@@ -256,7 +284,7 @@ def wrap_down(ctx, consts, sigma_l, G):
 
 def _identity_udt(ctx):
     I = jnp.broadcast_to(jnp.eye(ctx.N, dtype=ctx.dtype), (ctx.F, ctx.N, ctx.N))
-    D = jnp.ones((ctx.F, ctx.N), ctx.dtype)
+    D = jnp.ones((ctx.F, ctx.N), ctx.rdtype)   # D factors are always real
     return I, D, I
 
 
@@ -314,22 +342,26 @@ def sweep_slice(ctx, G, sigma, u):
         return G2, s2.astype(sigma.dtype), acc, nneg
     if ctx.delay > 1:
         return sweep_slice_delayed(ctx, G, sigma, u)
-    ud = ctx.udtype
+    ud = jnp.dtype(ctx.urdtype)
     signs = _signs(ctx, ud)
 
     def body(i, carry):
         G, sigma, acc, nneg = carry
         s = sigma[i].astype(ud)
         dEb = ud.type(-2.0 * ctx.lamb) * s
-        delta = jnp.expm1(signs * dEb)                   # (F,)
+        delta = jnp.expm1(signs * dEb)                   # (F,) real
         gii = jnp.diagonal(G, axis1=-2, axis2=-1)
         gii = lax.dynamic_slice_in_dim(gii, i, 1, axis=1)[:, 0]  # (F,)
         r = 1.0 + delta * (1.0 - gii)
         detratio = jnp.prod(r) ** ctx.det_power
+        # complex hopping: Metropolis weight is the REAL part; the imaginary
+        # part is the phase problem (reference: p = real(exp(-dE)*detratio) +
+        # imaginary-probability checks, DQMC.jl:546-582)
+        det_re = jnp.real(detratio)
         w = jnp.exp(-dEb) if ctx.use_boson else ud.type(1.0)
-        p = w * detratio
+        p = w * det_re
         accept = u[i] < p
-        nneg = nneg + jnp.asarray(detratio < 0, jnp.int32)
+        nneg = nneg + jnp.asarray(det_re < 0, jnp.int32)
         x = delta / r                                    # (F,)
         col = lax.dynamic_slice_in_dim(G, i, 1, axis=2)  # (F, N, 1)
         row = lax.dynamic_slice_in_dim(G, i, 1, axis=1)  # (F, 1, N)
@@ -355,7 +387,7 @@ def sweep_slice_delayed(ctx, G, sigma, u):
     fold-in runs on the MXU (delayed-update scheme after arXiv:2308.12005;
     rank-1 semantics: reference HubbardModelAttractive.jl:129-155).
     Requires K | N (enforced by make_context)."""
-    ud = ctx.udtype
+    ud = jnp.dtype(ctx.urdtype)
     K = ctx.delay
     N, F = ctx.N, ctx.F
     signs = _signs(ctx, ud)
@@ -374,10 +406,11 @@ def sweep_slice_delayed(ctx, G, sigma, u):
         gii = gii - jnp.sum(Arow * Bcol, axis=-1)
         r = 1.0 + delta * (1.0 - gii)
         detratio = jnp.prod(r) ** ctx.det_power
+        det_re = jnp.real(detratio)
         w = jnp.exp(-dEb) if ctx.use_boson else ud.type(1.0)
-        p = w * detratio
+        p = w * det_re
         accept = u[i] < p
-        nneg = nneg + jnp.asarray(detratio < 0, jnp.int32)
+        nneg = nneg + jnp.asarray(det_re < 0, jnp.int32)
         x = delta / r                                        # (F,)
         row = lax.dynamic_slice_in_dim(G, i, 1, axis=1)[:, 0]        # (F,N)
         row = row - (Arow[:, None, :] @ B)[:, 0, :]
@@ -396,8 +429,8 @@ def sweep_slice_delayed(ctx, G, sigma, u):
 
     def block_body(b, carry):
         G, sigma, acc, nneg = carry
-        A = jnp.zeros((F, N, K), ud)
-        B = jnp.zeros((F, K, N), ud)
+        A = jnp.zeros((F, N, K), G.dtype)
+        B = jnp.zeros((F, K, N), G.dtype)
         G, A, B, sigma, acc, nneg = lax.fori_loop(
             0, K, lambda j, c: site_body(j, c, b),
             (G, A, B, sigma, acc, nneg))
@@ -420,7 +453,7 @@ def init_state(ctx, consts, conf, key):
     (reference: build_stack, stack.jl:242-255). Per-chain state pytree."""
     n_el = ctx.n_el
     S_U = jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype)
-    S_D = jnp.zeros((n_el, ctx.F, ctx.N), ctx.dtype)
+    S_D = jnp.zeros((n_el, ctx.F, ctx.N), ctx.rdtype)
     S_T = jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype)
     _prec = ctx.matmul_precision()
     _prec.__enter__()
@@ -458,14 +491,14 @@ def init_state(ctx, consts, conf, key):
         "acc": c0,
         "prop": c0,
         "neg_prob": c0,
-        "prop_err_max": jnp.zeros((), ctx.dtype),
+        "prop_err_max": jnp.zeros((), ctx.rdtype),
         "prop_err_count": c0,
         # window-end drift DISTRIBUTION, not just the max: sum/count give the
         # mean, the histogram counts exceedances over PROP_ERR_EDGES. A single
         # max is dominated by rare transients and says nothing about typical
         # drift (VERDICT r1: f32 max ~3e3 looked alarming while the typical
         # window drift is orders of magnitude smaller).
-        "prop_err_sum": jnp.zeros((), ctx.dtype),
+        "prop_err_sum": jnp.zeros((), ctx.rdtype),
         "prop_err_n": c0,
         "prop_err_hist": jnp.zeros((len(PROP_ERR_EDGES),), jnp.int32),
     }
@@ -498,7 +531,7 @@ def _scan_slices(ctx, consts, G, conf, key, counters, slice_list, direction):
     def body(carry, l):
         G, conf, key, acc, nneg = carry
         key, sub = jax.random.split(key)
-        u = jax.random.uniform(sub, (ctx.N,), ctx.udtype)
+        u = jax.random.uniform(sub, (ctx.N,), ctx.urdtype)
         sigma = conf[:, l]
         if direction < 0:
             G = wrap_down(ctx, consts, sigma, G)
@@ -596,7 +629,7 @@ def sweep_pair(ctx, consts, state):
     S_D = S_D.at[0].set(lD)
     S_T = S_T.at[0].set(lT)
     key, sub = jax.random.split(key)
-    u = jax.random.uniform(sub, (ctx.N,), ctx.udtype)
+    u = jax.random.uniform(sub, (ctx.N,), ctx.urdtype)
     sigma = conf[:, 0]
     G, sigma, a, ng = sweep_slice(ctx, G, sigma, u)
     conf = conf.at[:, 0].set(sigma)

@@ -220,7 +220,7 @@ def build_ut_stacks(ctx, consts, conf):
 
     def alloc():
         return (jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype),
-                jnp.zeros((n_el, ctx.F, ctx.N), ctx.dtype),
+                jnp.zeros((n_el, ctx.F, ctx.N), ctx.rdtype),
                 jnp.zeros((n_el, ctx.F, ctx.N, ctx.N), ctx.dtype))
 
     # forward: extend with segment j ascending
@@ -467,7 +467,7 @@ def combined_accuracy(ctx, consts, conf, G00_eff, recalculate: int = None):
                 e0, jnp.maximum(e1, e2))), e)
         return (e, l + 1)
 
-    err0 = (jnp.zeros((), ctx.dtype), jnp.ones((), jnp.int32))
+    err0 = (jnp.zeros((), ctx.rdtype), jnp.ones((), jnp.int32))
     fn = jax.jit(lambda cf, g, e0: combined_greens_apply(
         ctx, consts, cf, g, e0, step, recalculate=rec))
     err, _ = fn(conf, G00_eff, err0)
@@ -615,7 +615,7 @@ def greens_range_accuracy(ctx, consts, conf, l: int = 0,
                           jnp.maximum(e, jnp.max(jnp.abs(G - direct[kk]))), e)
         return e
 
-    err0 = jnp.zeros((), ctx.dtype)
+    err0 = jnp.zeros((), ctx.rdtype)
     fn = jax.jit(lambda cf, e0: greens_range_apply(
         ctx, consts, cf, l, e0, step, recalculate=rec))
     return fn(conf, err0)

@@ -181,18 +181,20 @@ def greens_measurement(mc, model, greens_at=None, **kwargs) -> Measurement:
     marker, generic.jl:108-114)."""
     F = model.nflavors
     N = len(model.lattice)
+    eltype = np.dtype(getattr(model, "greens_eltype", np.float64))
 
     if greens_at is None:
         def measure(greens, **_):
             return {"greens": greens}
 
-        return Measurement("greens", {"greens": (F, N, N)}, measure)
+        return Measurement("greens", {"greens": (F, N, N)}, measure,
+                           dtype=eltype)
 
     def measure_at(utg, **_):
         return {"greens": utg}
 
     return Measurement(f"greens_at_{greens_at}", {"greens": (F, N, N)},
-                       measure_at, kind="greens_at",
+                       measure_at, kind="greens_at", dtype=eltype,
                        greens_at=(int(greens_at[0]), int(greens_at[1])))
 
 
@@ -203,7 +205,9 @@ def occupation(mc, model, **kwargs) -> Measurement:
     N = len(model.lattice)
 
     def measure(greens, **_):
-        occ = 1.0 - jnp.diagonal(greens, axis1=-2, axis2=-1)
+        # real part: n(i) is real for Hermitian H (complex-hopping sessions
+        # carry phases only off the diagonal up to statistical noise)
+        occ = 1.0 - jnp.real(jnp.diagonal(greens, axis1=-2, axis2=-1))
         return {"occ": occ}
 
     return Measurement("occupation", {"occ": (F, N)}, measure)

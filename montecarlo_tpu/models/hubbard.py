@@ -41,7 +41,14 @@ class _HubbardBase(Model):
     use_boson_weight: bool = True
 
     def __init__(self, dims: int = 2, L: int = None, l: Lattice = None,
-                 t: float = 1.0, U: float = 1.0, mu: float = 0.0):
+                 t: float = 1.0, U: float = 1.0, mu: float = 0.0,
+                 peierls=None):
+        """peierls: optional (N, N) real antisymmetric phase matrix θ —
+        hopping acquires Peierls factors T[i, j] = -t·e^{iθ[i,j]} (magnetic
+        flux / complex Hamiltonian support; the Green's function and all
+        propagators become complex — reference `greenseltype` hook,
+        src/flavors/DQMC/DQMC_optional.jl:7-40, with the complex UDT paths
+        of src/linalg/UDT.jl:316-469)."""
         if l is None:
             if L is None:
                 raise ValueError("need l=lattice or L (+dims)")
@@ -52,6 +59,18 @@ class _HubbardBase(Model):
         self.U = float(U)
         assert self.U >= 0.0, "U is the absolute interaction strength"
         self.mu = float(mu)
+        if peierls is not None:
+            peierls = np.asarray(peierls, np.float64)
+            assert peierls.shape == (len(l), len(l)), "peierls must be (N, N)"
+            assert np.allclose(peierls, -peierls.T), \
+                "peierls phases must be antisymmetric (Hermitian hopping)"
+        self.peierls = peierls
+
+    @property
+    def greens_eltype(self):
+        """Element type of the Green's function (reference: greenseltype,
+        DQMC_optional.jl:7-14)."""
+        return np.complex128 if self.peierls is not None else np.float64
 
     def parameters(self) -> Dict:
         p = {"t": self.t, "U": self.U, "mu": self.mu}
@@ -74,10 +93,14 @@ class _HubbardBase(Model):
         the diagonal; the repulsive model has mu = 0,
         HubbardModelRepulsive.jl:86-100)."""
         N = len(self.lattice)
-        T = np.zeros((N, N))
+        cplx = self.peierls is not None
+        T = np.zeros((N, N), np.complex128 if cplx else np.float64)
         np.fill_diagonal(T, -self.mu)
         for (src, trg) in self.lattice.neighbors(directed=True):
-            T[trg, src] += -self.t
+            amp = -self.t
+            if cplx:
+                amp = amp * np.exp(1j * self.peierls[trg, src])
+            T[trg, src] += amp
         return T
 
     def lamb(self, delta_tau: float) -> float:

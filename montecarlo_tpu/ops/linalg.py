@@ -30,6 +30,14 @@ def _adj(A):
     return jnp.swapaxes(A, -1, -2).conj()
 
 
+def _qr(A):
+    """QR dispatch: the fused batched Householder kernel on TPU for f32
+    (ops/pallas_qr.py; ~10x the XLA QR at DQMC sizes inside scans), XLA
+    otherwise."""
+    from .pallas_qr import maybe_qr
+    return maybe_qr(A)
+
+
 def udt_dirty(A):
     """A = U · diag(D) · T  with  T = R[:, inv_piv] (i.e. T·P = R upper-tri).
 
@@ -57,7 +65,7 @@ def udt_dirty(A):
     norms = jnp.linalg.norm(As, axis=-2)
     piv = jnp.argsort(-norms, axis=-1)
     Ap = jnp.take_along_axis(As, piv[..., None, :], axis=-1)
-    Q, R = jnp.linalg.qr(Ap)
+    Q, R = _qr(Ap)
     # complex-correct: D = |r_ii| (the complex modulus — the phase stays in
     # T's unit-MAGNITUDE diagonal; reference complex udt_AVX_pivot!,
     # src/linalg/UDT.jl:316-469)
@@ -103,7 +111,7 @@ def udt_dirty_colscaled(A):
     piv = jnp.argsort(-s, axis=-1)
     sp = jnp.take_along_axis(s, piv, axis=-1)
     Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1) / sp[..., None, :]
-    Q, R = jnp.linalg.qr(Ap)
+    Q, R = _qr(Ap)
     dhat = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
     dhat = jnp.maximum(dhat, jnp.finfo(dhat.dtype).eps ** 2)
     d = dhat * sp

@@ -50,9 +50,15 @@ def build_operators(n_sites):
 class EDSolution:
     """Eigen-decomposed Hubbard cluster with expectation-value helpers."""
 
-    def __init__(self, lattice, t=1.0, U=1.0, mu=0.0, attractive=True):
+    def __init__(self, lattice, t=1.0, U=1.0, mu=0.0, attractive=True,
+                 T_mat=None):
         """U is the magnitude; attractive=True flips its sign in H and keeps
         mu; attractive=False (repulsive) forces mu=0 (as in ED_tests.jl:92-95).
+
+        T_mat: optional explicit single-particle hopping matrix (possibly
+        complex Hermitian, e.g. Peierls phases) INCLUDING the chemical
+        potential on its diagonal — replaces the -t/-mu construction, so the
+        kinetic term is H_kin = Σ_{s,ij} T[i,j] c†_{i,s} c_{j,s}.
         """
         self.lattice = lattice
         N = len(lattice)
@@ -61,17 +67,29 @@ class EDSolution:
         mueff = mu if attractive else 0.0
         C = build_operators(N)
         dim = C[0].shape[0]
-        H = np.zeros((dim, dim))
-        # directed neighbor hopping, duplicates included (2x2 doubles bonds,
-        # matching the DQMC hopping matrix construction)
-        for (src, trg) in lattice.neighbors(directed=True):
-            for s in (0, 1):
-                H -= t * (C[_orbital(trg, s)].T @ C[_orbital(src, s)])
+        cplx = T_mat is not None and np.iscomplexobj(T_mat)
+        H = np.zeros((dim, dim), np.complex128 if cplx else np.float64)
+        if T_mat is not None:
+            T_mat = np.asarray(T_mat)
+            assert np.allclose(T_mat, T_mat.conj().T), "T_mat must be Hermitian"
+            for i in range(N):
+                for j in range(N):
+                    if T_mat[i, j] != 0:
+                        for s in (0, 1):
+                            H += T_mat[i, j] * (
+                                C[_orbital(i, s)].T @ C[_orbital(j, s)])
+        else:
+            # directed neighbor hopping, duplicates included (2x2 doubles
+            # bonds, matching the DQMC hopping matrix construction)
+            for (src, trg) in lattice.neighbors(directed=True):
+                for s in (0, 1):
+                    H -= t * (C[_orbital(trg, s)].T @ C[_orbital(src, s)])
         for i in range(N):
             nu = C[_orbital(i, 0)].T @ C[_orbital(i, 0)]
             nd = C[_orbital(i, 1)].T @ C[_orbital(i, 1)]
             H += Ueff * (nu - 0.5 * np.eye(dim)) @ (nd - 0.5 * np.eye(dim))
-            H -= mueff * (nu + nd)
+            if T_mat is None:
+                H -= mueff * (nu + nd)
         self.E, self.V = np.linalg.eigh(H)
         self.E -= self.E.min()
         self.C = C
@@ -81,13 +99,14 @@ class EDSolution:
         return w / w.sum()
 
     def _to_eigen(self, A):
-        return self.V.T @ A @ self.V
+        return self.V.conj().T @ A @ self.V
 
     def expect(self, A, beta):
-        """⟨A⟩ = tr(e^{-βH} A)/Z (test/ED/ED.jl:462-493)."""
+        """⟨A⟩ = tr(e^{-βH} A)/Z (test/ED/ED.jl:462-493). Returns a python
+        float for real spectra, complex for complex-Hamiltonian clusters."""
         w = self._rho_weights(beta)
         Ae = self._to_eigen(A)
-        return float(np.sum(w * np.diag(Ae)))
+        return np.sum(w * np.diag(Ae)).item()
 
     def expect_td(self, A, B, tau1, tau2, beta):
         """⟨A(τ1) B(τ2)⟩ for τ1 ≥ τ2 (test/ED/ED.jl:527-588):
@@ -116,7 +135,7 @@ class EDSolution:
     def greens(self, beta):
         """G[i,j] = ⟨c_{i↑} c†_{j↑}⟩ (spin-symmetric)."""
         N = self.N
-        G = np.zeros((N, N))
+        G = np.zeros((N, N), self.V.dtype)
         for i in range(N):
             for j in range(N):
                 G[i, j] = self.expect(self.c(i, 0) @ self.cdag(j, 0), beta)
