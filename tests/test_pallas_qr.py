@@ -72,6 +72,28 @@ def test_qr_under_vmap_folds_batch():
                                np.asarray(Rd), atol=1e-6)
 
 
+@pytest.mark.parametrize("panel", [4, 8, 16])
+def test_qr_blocked_panels(panel):
+    """Blocked-WY panel kernel (one grid step = `panel` columns) must satisfy
+    the same QR contract as the per-column kernel, on graded DQMC-like input."""
+    key = jax.random.PRNGKey(7)
+    A = jax.random.normal(key, (8, 32, 32), jnp.float32)
+    A = (A * jnp.exp(jnp.linspace(8.0, -8.0, 32))[None, None, :]).astype(jnp.float32)
+    Q, R = jax.jit(lambda A: pallas_qr._qr_batched(A, panel=panel))(A)
+    n = A.shape[-1]
+    scale = np.maximum(1.0, np.max(np.abs(np.asarray(A))))
+    np.testing.assert_allclose(np.asarray(Q @ R) / scale,
+                               np.asarray(A) / scale, atol=2e-5 * n)
+    ortho = np.asarray(jnp.swapaxes(Q, -1, -2) @ Q - jnp.eye(n))
+    assert np.max(np.abs(ortho)) < 2e-5 * n
+    assert np.max(np.abs(np.tril(np.asarray(R), -1))) / scale < 1e-6
+    # agreement with the per-column kernel (same Householder signs)
+    Q1, R1 = jax.jit(lambda A: pallas_qr._qr_batched(A, panel=1))(A)
+    np.testing.assert_allclose(np.asarray(Q), np.asarray(Q1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(R) / scale, np.asarray(R1) / scale,
+                               atol=2e-4)
+
+
 def test_udt_dirty_contract_with_kernel():
     """U·diag(D)·R with A[..., :, piv] = U D R, against the XLA-QR result of
     the same contract (decompositions differ by column signs only through Q/R
