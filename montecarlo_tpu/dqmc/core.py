@@ -132,7 +132,7 @@ class DQMCContext:
 
 def make_context(model, params, dtype=jnp.float64, update_dtype=None,
                  stab_method: str = "qr", use_pallas: bool = False,
-                 delay: int = 0, checkerboard: bool = False,
+                 delay: int = None, checkerboard: bool = False,
                  check_propagation_error: bool = None) -> Tuple[DQMCContext, dict]:
     """Build the static context + hopping matrix exponentials for a model.
 
@@ -190,12 +190,23 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     # clamp the delayed-update block to the largest divisor of N <= delay so
     # the site loop tiles exactly (no remainder block in the trace)
     N_sites = len(model.lattice)
+    if delay is None:
+        # auto: delayed rank-k wins over rank-1 once the site chain becomes
+        # flops-bound rather than per-op-latency-bound (measured on v5e:
+        # L=16/N=256 delay=32 ~8% over rank-1; at N=64 rank-1/pallas wins)
+        delay = 32 if N_sites >= 256 else 0
     k = max(0, int(delay))
     while k > 1 and N_sites % k:
         k -= 1
+    # the fused site-sweep kernel keeps G AND its transpose resident in VMEM
+    # across the site loop; beyond N=128 the blocks exceed the 16 MB scoped
+    # limit and Mosaic refuses — fall back to the XLA site loop (where the
+    # delayed rank-k path starts winning anyway, measured at L=16: delay=32
+    # beats rank-1 by ~8%)
+    pallas_ok = udt32 and N_sites <= 128
     ctx = DQMCContext(
         stab_method=stab_method,
-        use_pallas=bool(use_pallas) and udt32,
+        use_pallas=bool(use_pallas) and pallas_ok,
         delay=0 if k <= 1 else k,
         checkerboard=bool(checkerboard),
         N=len(model.lattice), M=params.slices, sm=params.safe_mult,

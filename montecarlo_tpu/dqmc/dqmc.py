@@ -62,7 +62,7 @@ class DQMC:
 
     def __init__(self, model, n_chains: int = 16, seed: int = 0,
                  dtype=jnp.float64, update_dtype=None, use_pallas: bool = False,
-                 stab_method: str = "qr", delay: int = 0,
+                 stab_method: str = "qr", delay: int = None,
                  checkerboard: bool = False,
                  measurements: str | Dict = "default",
                  thermalization_measurements: Optional[Dict] = None,
