@@ -267,7 +267,16 @@ def qr_lanes():
         lead = A.shape[:-2]
         N = A.shape[-1]
         Af = A.reshape((-1, N, N))
-        Q, R = _qr_batched(Af)
+        B = Af.shape[0]
+        # chunk the lane batch: beyond 256 chains the whole in/out arrays
+        # of one pallas_call exceed the 16 MB scoped-VMEM budget on v5e
+        step = 256
+        if B > step and B % step == 0:
+            parts = [_qr_batched(Af[i:i + step]) for i in range(0, B, step)]
+            Q = jnp.concatenate([p[0] for p in parts], axis=0)
+            R = jnp.concatenate([p[1] for p in parts], axis=0)
+        else:
+            Q, R = _qr_batched(Af)
         return Q.reshape(lead + (N, N)), R.reshape(lead + (N, N))
 
     @qr.def_vmap

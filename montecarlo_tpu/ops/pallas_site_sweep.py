@@ -284,7 +284,18 @@ def get_fused_site_sweep(*, lamb, signs, det_power, use_boson):
     @fused.def_vmap
     def _rule(axis_size, in_batched, G, sigma, u):
         assert all(in_batched), "fused site sweep expects all args batched"
-        out = _site_sweep_batched(G, sigma, u, **kw)
+        C = G.shape[0]
+        step = 256
+        if C > step and C % step == 0:
+            # chunk the chain batch: one pallas_call's whole G/Gt in+out
+            # arrays beyond 256 chains exceed the 16 MB scoped-VMEM budget
+            parts = [_site_sweep_batched(G[i:i + step], sigma[i:i + step],
+                                         u[i:i + step], **kw)
+                     for i in range(0, C, step)]
+            out = tuple(jnp.concatenate([p[k] for p in parts], axis=0)
+                        for k in range(4))
+        else:
+            out = _site_sweep_batched(G, sigma, u, **kw)
         return out, (True, True, True, True)
 
     _FUSED_CACHE[key] = fused

@@ -72,6 +72,21 @@ def test_qr_under_vmap_folds_batch():
                                np.asarray(Rd), atol=1e-6)
 
 
+def test_qr_large_batch_chunking():
+    """Batches beyond 256 are split into 256-chain pallas calls (one call's
+    in+out arrays exceed the scoped-VMEM budget on device); the chunked
+    result must equal the single-call result exactly."""
+    key = jax.random.PRNGKey(9)
+    A = jax.random.normal(key, (512, 8, 8), jnp.float32)
+    qr = pallas_qr.qr_lanes()
+    Q, R = jax.jit(qr)(A)
+    Q0, R0 = jax.jit(lambda A: pallas_qr._qr_batched(A))(A[:256])
+    np.testing.assert_array_equal(np.asarray(Q[:256]), np.asarray(Q0))
+    np.testing.assert_array_equal(np.asarray(R[:256]), np.asarray(R0))
+    Q1, R1 = jax.jit(lambda A: pallas_qr._qr_batched(A))(A[256:])
+    np.testing.assert_array_equal(np.asarray(Q[256:]), np.asarray(Q1))
+
+
 @pytest.mark.parametrize("panel", [4, 8, 16])
 def test_qr_blocked_panels(panel):
     """Blocked-WY panel kernel (one grid step = `panel` columns) must satisfy
