@@ -66,6 +66,7 @@ def test_mixed_precision_vs_ed():
     assert cdc_err < ATOL, f"cdc err {cdc_err}"
 
 
+@pytest.mark.slow
 def test_mixed_matches_f64_statistically():
     """Half-filled 4x4 at beta=5: mixed and f64 occupations agree within
     combined statistical error (and with the exact 0.5)."""

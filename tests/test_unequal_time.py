@@ -108,6 +108,7 @@ def test_combined_iterator_accuracy_strong_coupling(recalc_mult, tol):
                               recalculate=recalc_mult * ctx.sm)
 
 
+@pytest.mark.slow
 def test_iterator_reference_gate_config():
     """The reference's own iterator gate: 6-site chain, U=1, beta=15,
     safe_mult=5 — CombinedGreensIterator and GreensIterator at
