@@ -71,6 +71,11 @@ def bench_dqmc():
     conf = model.rand_conf(key, N_CHAINS, params.slices)
     keys = jax.random.split(key, N_CHAINS)
     state = jax.jit(jax.vmap(partial(core.init_state, ctx, consts)))(conf, keys)
+    if len(jax.devices()) > 1 and N_CHAINS % len(jax.devices()) == 0:
+        # multi-chip: shard the chain axis over the ICI mesh — the jitted
+        # sweep partitions into pure per-device compute (no collectives)
+        from montecarlo_tpu.parallel import chain_mesh, shard_chain_state
+        state = shard_chain_state(state, chain_mesh())
     jax.block_until_ready(state["S_U"])
     sweep = jax.jit(jax.vmap(partial(core.sweep_pair, ctx, consts)))
     state, _, _ = sweep(state)  # compile + warmup
