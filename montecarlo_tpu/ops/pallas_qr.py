@@ -271,8 +271,9 @@ def qr_lanes():
         # chunk the lane batch: beyond 256 chains the whole in/out arrays
         # of one pallas_call exceed the 16 MB scoped-VMEM budget on v5e
         step = 256
-        if B > step and B % step == 0:
-            parts = [_qr_batched(Af[i:i + step]) for i in range(0, B, step)]
+        if B > step:
+            parts = [_qr_batched(Af[i:min(i + step, B)])
+                     for i in range(0, B, step)]
             Q = jnp.concatenate([p[0] for p in parts], axis=0)
             R = jnp.concatenate([p[1] for p in parts], axis=0)
         else:

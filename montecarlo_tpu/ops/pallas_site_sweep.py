@@ -286,11 +286,12 @@ def get_fused_site_sweep(*, lamb, signs, det_power, use_boson):
         assert all(in_batched), "fused site sweep expects all args batched"
         C = G.shape[0]
         step = 256
-        if C > step and C % step == 0:
+        if C > step:
             # chunk the chain batch: one pallas_call's whole G/Gt in+out
             # arrays beyond 256 chains exceed the 16 MB scoped-VMEM budget
-            parts = [_site_sweep_batched(G[i:i + step], sigma[i:i + step],
-                                         u[i:i + step], **kw)
+            parts = [_site_sweep_batched(G[i:min(i + step, C)],
+                                         sigma[i:min(i + step, C)],
+                                         u[i:min(i + step, C)], **kw)
                      for i in range(0, C, step)]
             out = tuple(jnp.concatenate([p[k] for p in parts], axis=0)
                         for k in range(4))
