@@ -50,19 +50,41 @@ class CheckerboardData:
 
 
 def build_checkerboard(lattice, hopping: np.ndarray, dtau: float) -> CheckerboardData:
+    """Complex-Hermitian-correct: for a bond amplitude w = T[s,t] (so
+    T[t,s] = w̄), the exact 2×2 exponential is
+
+        exp(-dtau·[[0, w], [w̄, 0]]) = [[cosh|a|, -sinh|a|·p],
+                                        [-sinh|a|·p̄, cosh|a|]],
+        a = dtau·w,  p = a/|a|  (p = sign(a) in the real case, which
+        reproduces the classic [[cosh a, -sinh a], [-sinh a, cosh a]]).
+
+    `sinh_*` stores the UPPER off-diagonal (-sinh|a|·p); the lower one is its
+    conjugate (a no-op for real hopping)."""
+    if np.iscomplexobj(hopping):
+        assert np.allclose(hopping, hopping.conj().T), \
+            "checkerboard requires a Hermitian hopping matrix"
     groups = lattice.checkerboard_groups
     srcs, trgs, cf, sf, ch, sh = [], [], [], [], [], []
+
+    def coeffs(a):
+        mag = np.abs(a)
+        safe = np.where(mag > 0, mag, 1.0)
+        p = np.where(mag > 0, a / safe, np.ones_like(a))
+        return np.cosh(mag), -np.sinh(mag) * p
+
     for g in groups:
         s = g[:, 0].astype(np.int32)
         t = g[:, 1].astype(np.int32)
         a = dtau * hopping[s, t]
         srcs.append(jnp.asarray(s))
         trgs.append(jnp.asarray(t))
-        cf.append(jnp.asarray(np.cosh(a)))
-        sf.append(jnp.asarray(-np.sinh(a)))
-        ch.append(jnp.asarray(np.cosh(0.5 * a)))
-        sh.append(jnp.asarray(-np.sinh(0.5 * a)))
-    mu = np.diag(hopping)
+        c1, s1 = coeffs(a)
+        c2, s2 = coeffs(0.5 * a)
+        cf.append(jnp.asarray(c1))
+        sf.append(jnp.asarray(s1))
+        ch.append(jnp.asarray(c2))
+        sh.append(jnp.asarray(s2))
+    mu = np.diag(hopping).real
     return CheckerboardData(
         srcs=tuple(srcs), trgs=tuple(trgs),
         cosh_full=tuple(cf), sinh_full=tuple(sf),
@@ -73,19 +95,21 @@ def build_checkerboard(lattice, hopping: np.ndarray, dtau: float) -> Checkerboar
 
 
 def _mix_rows(M, src, trg, c, s):
-    """M ← e^{-dtau T_g} M : mix row pairs (batched over leading axes)."""
+    """M ← e^{-dtau T_g} M : mix row pairs (batched over leading axes).
+    s is the UPPER off-diagonal coefficient; the lower one is conj(s)."""
     A = M[..., src, :]
     B = M[..., trg, :]
     M = M.at[..., src, :].set(c[:, None] * A + s[:, None] * B)
-    M = M.at[..., trg, :].set(s[:, None] * A + c[:, None] * B)
+    M = M.at[..., trg, :].set(jnp.conj(s)[:, None] * A + c[:, None] * B)
     return M
 
 
 def _mix_cols(M, src, trg, c, s):
-    """M ← M e^{-dtau T_g} : mix column pairs (T_g symmetric)."""
+    """M ← M e^{-dtau T_g} : mix column pairs (T_g Hermitian: the src column
+    mixes with conj(s), the trg column with s)."""
     A = M[..., :, src]
     B = M[..., :, trg]
-    M = M.at[..., :, src].set(c[None, :] * A + s[None, :] * B)
+    M = M.at[..., :, src].set(c[None, :] * A + jnp.conj(s)[None, :] * B)
     M = M.at[..., :, trg].set(s[None, :] * A + c[None, :] * B)
     return M
 
@@ -181,6 +205,10 @@ def assemble_dense_operator(lattice, hopping: np.ndarray, dtau: float,
     exactly), not a matrix inversion."""
     N = hopping.shape[0]
     cb = build_checkerboard(lattice, hopping, dtau)
+    if np.iscomplexobj(hopping):
+        # complex rotation coefficients into a real matrix would silently
+        # drop the imaginary parts (jnp .at[].set only warns)
+        dtype = jnp.complex128
     I = jnp.eye(N, dtype=dtype)
     hop = _hop_left(cb, I, inv=False)
     hop_inv = _hop_left(cb, I, inv=True)

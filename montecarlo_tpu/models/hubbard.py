@@ -74,6 +74,10 @@ class _HubbardBase(Model):
 
     def parameters(self) -> Dict:
         p = {"t": self.t, "U": self.U, "mu": self.mu}
+        if self.peierls is not None:
+            # persist the flux pattern: without it a checkpoint would silently
+            # resume as the flux-free real model
+            p["peierls"] = np.asarray(self.peierls)
         if hasattr(self.lattice, "unitcell"):
             p.update(dims=self.lattice.dim, L=self.lattice.shape[0])
         return p
@@ -152,13 +156,16 @@ class HubbardModelRepulsive(_HubbardBase):
     use_boson_weight = False
 
     def __init__(self, dims: int = 2, L: int = None, l: Lattice = None,
-                 t: float = 1.0, U: float = 1.0, mu: float = 0.0):
+                 t: float = 1.0, U: float = 1.0, mu: float = 0.0,
+                 peierls=None):
         assert mu == 0.0, "the repulsive model is defined at half filling (mu=0)"
-        super().__init__(dims=dims, L=L, l=l, t=t, U=U, mu=0.0)
+        super().__init__(dims=dims, L=L, l=l, t=t, U=U, mu=0.0,
+                         peierls=peierls)
 
     def parameters(self) -> Dict:
-        return {"dims": self.lattice.dim, "L": self.lattice.shape[0],
-                "t": self.t, "U": self.U}
+        p = super().parameters()
+        p.pop("mu", None)
+        return p
 
 
 def HubbardModel(*args, U: float = 1.0, **kwargs):

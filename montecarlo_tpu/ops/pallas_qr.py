@@ -175,7 +175,9 @@ def _blocked_kernel(N, CB, KB, At_in, At_ref, Q_ref):
     # ---- one-pass block apply, chunked over the row dim of X to bound VMEM
     # temporaries (a full-matrix X copy + update would blow the 16 MB scoped
     # limit together with At/Q residing in VMEM): X ← X − ((X·V)·T)·Vᵀ
-    CH = max(KB, 16)
+    # The chunk must DIVIDE N or the last pl.ds runs past the ref bounds
+    # (N=72 with CH=16 would address rows 64..79 of a 72-row ref).
+    CH = 16 if N % 16 == 0 else (8 if N % 8 == 0 else KB)
 
     def block_apply(X_ref, mask_trailing):
         for c0 in range(0, N, CH):
@@ -198,11 +200,7 @@ def _blocked_kernel(N, CB, KB, At_in, At_ref, Q_ref):
     block_apply(Q_ref, False)
 
 
-def _pick_chain_block(B: int) -> int:
-    for cb in (256, 128, 64, 32, 16, 8):
-        if B % cb == 0:
-            return cb
-    return B
+from .pallas_util import pick_lane_block as _pick_chain_block
 
 
 # Panel width for the blocked kernel; 0/1 selects the per-column kernel.
@@ -267,17 +265,8 @@ def qr_lanes():
         lead = A.shape[:-2]
         N = A.shape[-1]
         Af = A.reshape((-1, N, N))
-        B = Af.shape[0]
-        # chunk the lane batch: beyond 256 chains the whole in/out arrays
-        # of one pallas_call exceed the 16 MB scoped-VMEM budget on v5e
-        step = 256
-        if B > step:
-            parts = [_qr_batched(Af[i:min(i + step, B)])
-                     for i in range(0, B, step)]
-            Q = jnp.concatenate([p[0] for p in parts], axis=0)
-            R = jnp.concatenate([p[1] for p in parts], axis=0)
-        else:
-            Q, R = _qr_batched(Af)
+        from .pallas_util import map_lane_chunks
+        Q, R = map_lane_chunks(_qr_batched, Af)
         return Q.reshape(lead + (N, N)), R.reshape(lead + (N, N))
 
     @qr.def_vmap

@@ -217,13 +217,7 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB,
     nneg_ref[pl.ds(i, 1)] = jnp.where(detratio < 0, one, zero)
 
 
-def _pick_chain_block(C: int) -> int:
-    """Largest lane-friendly divisor of C (≤ 256 keeps G blocks ≤ 4 MB
-    within the ~16 MB VMEM together with the transpose copy and temps)."""
-    for cb in (256, 128, 64, 32, 16, 8):
-        if C % cb == 0:
-            return cb
-    return C
+from .pallas_util import pick_lane_block as _pick_chain_block
 
 
 def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson):
@@ -284,19 +278,9 @@ def get_fused_site_sweep(*, lamb, signs, det_power, use_boson):
     @fused.def_vmap
     def _rule(axis_size, in_batched, G, sigma, u):
         assert all(in_batched), "fused site sweep expects all args batched"
-        C = G.shape[0]
-        step = 256
-        if C > step:
-            # chunk the chain batch: one pallas_call's whole G/Gt in+out
-            # arrays beyond 256 chains exceed the 16 MB scoped-VMEM budget
-            parts = [_site_sweep_batched(G[i:min(i + step, C)],
-                                         sigma[i:min(i + step, C)],
-                                         u[i:min(i + step, C)], **kw)
-                     for i in range(0, C, step)]
-            out = tuple(jnp.concatenate([p[k] for p in parts], axis=0)
-                        for k in range(4))
-        else:
-            out = _site_sweep_batched(G, sigma, u, **kw)
+        from .pallas_util import map_lane_chunks
+        out = map_lane_chunks(
+            lambda g, s, uu: _site_sweep_batched(g, s, uu, **kw), G, sigma, u)
         return out, (True, True, True, True)
 
     _FUSED_CACHE[key] = fused

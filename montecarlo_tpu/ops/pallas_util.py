@@ -1,0 +1,40 @@
+"""Shared helpers for the chain-on-lanes Pallas kernels (pallas_qr,
+pallas_site_sweep).
+
+Mosaic block constraints on the lane (trailing) dimension: a block's lane
+size must be a multiple of 128 OR equal to the full array dimension, and
+blocks must tile the array exactly. On top of that, one pallas_call's whole
+input+output arrays for chain batches beyond ~256 exceed the 16 MB
+scoped-VMEM budget on v5e — larger batches are split into <=256-chain calls.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LANE_CHUNK = 256
+
+
+def pick_lane_block(B: int) -> int:
+    """Largest valid lane block for a batch of B chains: a 128-multiple
+    divisor if one exists, else the full batch (block == array dim is always
+    legal)."""
+    for cb in (256, 128):
+        if B % cb == 0:
+            return cb
+    return B
+
+
+def map_lane_chunks(fn, *args, step: int = LANE_CHUNK):
+    """Apply `fn` to <=step-sized chunks of the leading (chain) axis of every
+    arg and concatenate the outputs (tuple-valued fns supported). Chunks need
+    not divide the batch evenly."""
+    B = args[0].shape[0]
+    if B <= step:
+        return fn(*args)
+    parts = [fn(*(a[i:min(i + step, B)] for a in args))
+             for i in range(0, B, step)]
+    if isinstance(parts[0], tuple):
+        return tuple(jnp.concatenate([p[k] for p in parts], axis=0)
+                     for k in range(len(parts[0])))
+    return jnp.concatenate(parts, axis=0)

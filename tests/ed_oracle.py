@@ -117,7 +117,8 @@ class EDSolution:
         Ae = self._to_eigen(A)
         Be = self._to_eigen(B)
         mid = np.exp(-dt * self.E)
-        return float(np.einsum("m,mn,n,nm->", w, Ae, mid, Be) / Z)
+        # .item() (not float()) — complex-Hamiltonian clusters return complex
+        return (np.einsum("m,mn,n,nm->", w, Ae, mid, Be) / Z).item()
 
     # -------------------------------------------------------------- operators
     def c(self, site, spin):

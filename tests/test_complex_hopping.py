@@ -76,6 +76,70 @@ def test_complex_greens_vs_ed():
     assert abs(phase_meas - phase_pred) < 0.1, (phase_meas, phase_pred)
 
 
+def test_peierls_survives_checkpoint_roundtrip(tmp_path):
+    """parameters() must persist the flux pattern: without it a checkpoint
+    resumes as the flux-free REAL model with no error raised."""
+    from montecarlo_tpu.io import checkpoint as cp
+    N = 2
+    th = _gauge_peierls(N, [0.0, 0.8])
+    model = HubbardModelAttractive(dims=1, L=N, U=4.0, mu=0.15, peierls=th)
+    mc = DQMC(model, beta=1.0, delta_tau=0.1, n_chains=4, seed=3,
+              measurements={})
+    mc.run(sweeps=2, thermalization=0, verbose=False)
+    fn = str(tmp_path / "peierls.mcpkl")
+    cp.save(fn, mc)
+    mc2 = cp.load(fn)
+    assert mc2.model.peierls is not None
+    np.testing.assert_allclose(np.asarray(mc2.model.peierls), th)
+    assert np.iscomplexobj(mc2.model.hopping_matrix())
+    assert mc2.ctx.is_complex
+    np.testing.assert_allclose(np.asarray(mc2.state["G"]),
+                               np.asarray(mc.state["G"]))
+
+
+def test_checkerboard_complex_gauge_covariance():
+    """The checkerboard-assembled operator must transform covariantly under a
+    pure gauge: cb(U T U†) == U·cb(T)·U† exactly (each 2×2 bond exponential
+    is gauge-covariant). Guards against the silent imaginary-part drop when
+    complex coefficients hit a real operator matrix."""
+    from montecarlo_tpu.dqmc.checkerboard import assemble_dense_operator
+    from montecarlo_tpu.models.hubbard import HubbardModelAttractive as H
+    L = 4
+    phis = np.linspace(0.0, 1.3, L)
+    model_r = H(dims=1, L=L, U=4.0, mu=0.2)
+    model_c = H(dims=1, L=L, U=4.0, mu=0.2, peierls=_gauge_peierls(L, phis))
+    op_r, opinv_r = assemble_dense_operator(model_r.lattice,
+                                            model_r.hopping_matrix(), 0.1)
+    op_c, opinv_c = assemble_dense_operator(model_c.lattice,
+                                            model_c.hopping_matrix(), 0.1)
+    assert np.iscomplexobj(np.asarray(op_c))
+    U = np.diag(np.exp(1j * phis))
+    np.testing.assert_allclose(np.asarray(op_c), U @ np.asarray(op_r) @ U.conj().T,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(op_c) @ np.asarray(opinv_c),
+                               np.eye(L), atol=1e-13)
+
+
+def test_complex_checkerboard_dqmc_matches_gauge_rotated_real():
+    """Full DQMC with checkerboard=True and Peierls phases reproduces the
+    gauge-rotated real checkerboard run exactly (same Markov chain)."""
+    N = 2
+    phis = [0.0, 0.8]
+    kw = dict(beta=1.0, delta_tau=0.1, n_chains=4, seed=3, measurements={},
+              checkerboard=True)
+    mc_c = DQMC(HubbardModelAttractive(dims=1, L=N, U=4.0, mu=0.15,
+                                       peierls=_gauge_peierls(N, phis)), **kw)
+    mc_r = DQMC(HubbardModelAttractive(dims=1, L=N, U=4.0, mu=0.15), **kw)
+    mc_c.run(sweeps=3, thermalization=0, verbose=False)
+    mc_r.run(sweeps=3, thermalization=0, verbose=False)
+    np.testing.assert_array_equal(np.asarray(mc_c.state["conf"]),
+                                  np.asarray(mc_r.state["conf"]))
+    U = np.diag(np.exp(1j * np.asarray(phis)))
+    np.testing.assert_allclose(np.asarray(mc_c.state["G"]),
+                               U @ np.asarray(mc_r.state["G"]) @ U.conj().T,
+                               atol=1e-9)
+
+
 def test_complex_sweep_runs_and_matches_gauge_rotated_real():
     """One sweep of the complex model must reproduce the gauge-rotated real
     model's Green's function exactly (same seed → same Markov chain, since

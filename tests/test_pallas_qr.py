@@ -72,6 +72,35 @@ def test_qr_under_vmap_folds_batch():
                                np.asarray(Rd), atol=1e-6)
 
 
+@pytest.mark.parametrize("N", [72, 88])
+def test_qr_blocked_n_not_multiple_of_16(N):
+    """The blocked kernel's row-chunked apply must not index past the ref for
+    N % 16 != 0 (e.g. 72 sites = 6x6 honeycomb); CH falls back to 8."""
+    key = jax.random.PRNGKey(11)
+    A = jax.random.normal(key, (8, N, N), jnp.float32)
+    Q, R = jax.jit(lambda A: pallas_qr._qr_batched(A, panel=8))(A)
+    np.testing.assert_allclose(np.asarray(Q @ R), np.asarray(A),
+                               atol=2e-5 * N)
+    ortho = np.asarray(jnp.swapaxes(Q, -1, -2) @ Q - jnp.eye(N))
+    assert np.max(np.abs(ortho)) < 2e-5 * N
+
+
+def test_lane_block_rule():
+    """Lane blocks must be 128-multiples or the full batch (Mosaic block
+    constraint) — 192 must NOT pick 64."""
+    from montecarlo_tpu.ops.pallas_util import pick_lane_block
+    assert pick_lane_block(256) == 256
+    assert pick_lane_block(128) == 128
+    assert pick_lane_block(192) == 192
+    assert pick_lane_block(96) == 96
+    assert pick_lane_block(512) == 256
+    # odd batch through the kernel end-to-end
+    key = jax.random.PRNGKey(12)
+    A = jax.random.normal(key, (24, 16, 16), jnp.float32)
+    Q, R = jax.jit(lambda A: pallas_qr._qr_batched(A))(A)
+    np.testing.assert_allclose(np.asarray(Q @ R), np.asarray(A), atol=3e-4)
+
+
 def test_qr_large_batch_chunking():
     """Batches beyond 256 are split into 256-chain pallas calls (one call's
     in+out arrays exceed the scoped-VMEM budget on device); the chunked
