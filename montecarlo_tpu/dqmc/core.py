@@ -113,13 +113,15 @@ class DQMCContext:
 
     @property
     def rdtype(self):
-        """Real counterpart of dtype (D factors, drift stats, uniforms)."""
-        return jnp.zeros((), self.dtype).real.dtype
+        """Real counterpart of dtype (D factors, drift stats, uniforms).
+        Computed host-side (numpy) — an eager device op on a complex scalar
+        crashes TPU runtimes without complex support."""
+        return jnp.dtype(np.zeros((), np.dtype(jnp.dtype(self.dtype).name)).real.dtype)
 
     @property
     def urdtype(self):
-        """Real counterpart of the update dtype."""
-        return jnp.zeros((), self.udtype).real.dtype
+        """Real counterpart of the update dtype (host-side, see rdtype)."""
+        return jnp.dtype(np.zeros((), np.dtype(jnp.dtype(self.udtype).name)).real.dtype)
 
     @property
     def n_seg(self):
@@ -159,29 +161,51 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
         if update_dtype is not None:
             update_dtype = _cplx.get(np.dtype(update_dtype),
                                      jnp.dtype(update_dtype))
+        if (jnp.dtype(dtype) == jnp.complex128
+                and jax.default_backend() not in ("cpu",)):
+            import warnings
+            warnings.warn(
+                "complex128 is unreliable on TPU runtimes (double-float "
+                "emulation of complex ops can hang); use dtype=float32 "
+                "(-> complex64) for on-device complex-hopping runs. "
+                "Measured: 853 chain-sweeps/s at the 8x8 beta=10 config.")
     if checkerboard:
         from .checkerboard import assemble_dense_operator
         f64 = jnp.float64
-        eT2_m, eT2inv_m = assemble_dense_operator(
-            model.lattice, T, dtau, dtype=f64)
-        eThalf_m, eThalfinv_m = assemble_dense_operator(
-            model.lattice, T, 0.5 * dtau, dtype=f64)
-        eT2_m, eT2inv_m = np.asarray(eT2_m), np.asarray(eT2inv_m)
-        eThalf_m, eThalfinv_m = np.asarray(eThalf_m), np.asarray(eThalfinv_m)
+        # assemble on the host CPU: the eager jnp mixing ops would otherwise
+        # run on the accelerator and complex device->host transfers are
+        # unimplemented on some TPU runtimes
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            eT2_m, eT2inv_m = assemble_dense_operator(
+                model.lattice, T, dtau, dtype=f64)
+            eThalf_m, eThalfinv_m = assemble_dense_operator(
+                model.lattice, T, 0.5 * dtau, dtype=f64)
+            eT2_m, eT2inv_m = np.asarray(eT2_m), np.asarray(eT2inv_m)
+            eThalf_m, eThalfinv_m = (np.asarray(eThalf_m),
+                                     np.asarray(eThalfinv_m))
     else:
         w, V = np.linalg.eigh(T)
         expm = lambda c: (V * np.exp(c * w)[None, :]) @ V.conj().T
         eT2_m, eT2inv_m = expm(-dtau), expm(dtau)
         eThalf_m, eThalfinv_m = expm(-0.5 * dtau), expm(0.5 * dtau)
     udtype = dtype if update_dtype is None else update_dtype
+    # Complex sessions keep consts HOST-side (numpy): device-resident complex
+    # arrays cannot be fetched back for jit constant embedding on TPU runtimes
+    # without complex transfer support. Real sessions keep them on device —
+    # numpy constants measured a ~1000x slowdown on the tunneled runtime
+    # (per-call constant processing).
+    if np.iscomplexobj(T):
+        _mk = lambda a, dt: np.asarray(a, np.dtype(jnp.dtype(dt).name))
+    else:
+        _mk = lambda a, dt: jnp.asarray(a, dt)
     consts = {
-        "eT2": jnp.asarray(eT2_m, dtype),
-        "eT2inv": jnp.asarray(eT2inv_m, dtype),
-        "eThalf": jnp.asarray(eThalf_m, dtype),
-        "eThalfinv": jnp.asarray(eThalfinv_m, dtype),
-        "hopping": jnp.asarray(T, dtype),
-        "eT2_u": jnp.asarray(eT2_m, udtype),
-        "eT2inv_u": jnp.asarray(eT2inv_m, udtype),
+        "eT2": _mk(eT2_m, dtype),
+        "eT2inv": _mk(eT2inv_m, dtype),
+        "eThalf": _mk(eThalf_m, dtype),
+        "eThalfinv": _mk(eThalfinv_m, dtype),
+        "hopping": _mk(T, dtype),
+        "eT2_u": _mk(eT2_m, udtype),
+        "eT2inv_u": _mk(eT2inv_m, udtype),
     }
     cpe = (params.check_propagation_error
            if check_propagation_error is None else check_propagation_error)
@@ -234,7 +258,7 @@ def eV_diag(ctx, sigma_l, power=1.0, dtype=None):
     """diag of exp(-power*dtau*V(l)) as (F, N). sigma_l: (N,) int8.
     Always REAL (the Hirsch factor is real even for complex hopping);
     broadcasting promotes against complex propagators."""
-    dtype = jnp.zeros((), dtype or ctx.dtype).real.dtype
+    dtype = jnp.dtype(np.zeros((), np.dtype(jnp.dtype(dtype or ctx.dtype).name)).real.dtype)
     s = sigma_l.astype(dtype)
     return jnp.exp(dtype.type(power * ctx.lamb) * _signs(ctx, dtype)[:, None] * s[None, :])
 

@@ -27,6 +27,7 @@ from . import unequal_time as ut
 from ..measurements.core import MeasurementRegistry
 from ..io.recorder import ConfigRecorder, Discarder
 from ..utils.timing import timer
+from ..utils.host import tree_to_host
 
 
 @dataclass
@@ -423,10 +424,11 @@ class DQMC:
             "conf": np.asarray(self.state["conf"]),
             "key": np.asarray(self.state["key"]),
             "configs": self.configs.state_dict(),
-            "measurement_states": jax.tree_util.tree_map(
-                np.asarray, self.measurements.states),
-            "th_measurement_states": jax.tree_util.tree_map(
-                np.asarray, self.thermalization_measurements.states),
+            # tree_to_host: complex binner states (Peierls sessions) cannot
+            # be fetched as complex buffers on some TPU runtimes
+            "measurement_states": tree_to_host(self.measurements.states),
+            "th_measurement_states": tree_to_host(
+                self.thermalization_measurements.states),
             "analysis": {
                 "acc_rate": self.analysis.acc_rate,
                 "prop_local": self.analysis.prop_local,

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.binner import LogBinner
+from ..utils.host import to_host
 
 
 @dataclass
@@ -72,7 +73,10 @@ class Measurement:
         }
         states = {}
         for k, b in self.binners.items():
-            states[k] = jax.vmap(lambda _: b.empty_state())(jnp.arange(n_chains))
+            # jit the construction: EAGER creation of complex arrays is
+            # unimplemented on some TPU runtimes (compiled creation works)
+            states[k] = jax.jit(
+                jax.vmap(lambda _: b.empty_state()))(jnp.arange(n_chains))
         return states
 
     def push(self, states, values):
@@ -91,25 +95,29 @@ class ObservableResult:
     def __init__(self, state):
         self._state = state
 
+    # statistics are returned as HOST numpy via to_host: complex binner
+    # states (Peierls sessions) cannot be fetched as complex buffers on some
+    # TPU runtimes, and host values are what callers do numpy math on anyway
+
     @property
     def per_chain_mean(self):
-        return LogBinner.mean(self._state)
+        return to_host(LogBinner.mean(self._state))
 
     @property
     def mean(self):
-        return LogBinner.combined_mean(self._state)
+        return to_host(LogBinner.combined_mean(self._state))
 
     @property
     def std_error(self):
-        return LogBinner.combined_std_error(self._state)
+        return to_host(LogBinner.combined_std_error(self._state))
 
     @property
     def per_chain_std_error(self):
-        return LogBinner.std_error(self._state)
+        return to_host(LogBinner.std_error(self._state))
 
     @property
     def var(self):
-        return LogBinner.var(self._state)
+        return to_host(LogBinner.var(self._state))
 
     @property
     def tau(self):

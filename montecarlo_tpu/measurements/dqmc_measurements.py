@@ -182,6 +182,11 @@ def greens_measurement(mc, model, greens_at=None, **kwargs) -> Measurement:
     F = model.nflavors
     N = len(model.lattice)
     eltype = np.dtype(getattr(model, "greens_eltype", np.float64))
+    ctx = getattr(mc, "ctx", None)
+    if ctx is not None and ctx.is_complex:
+        # match the session width: a complex64 session must not allocate
+        # complex128 binners (x64-disabled TPU runtimes cannot create them)
+        eltype = np.dtype(jnp.dtype(ctx.dtype).name)
 
     if greens_at is None:
         def measure(greens, **_):

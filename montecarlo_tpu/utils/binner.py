@@ -45,7 +45,9 @@ class LogBinner:
         self.shape = tuple(shape)
         self.dtype = jnp.dtype(dtype)
         self.depth = int(depth)
-        self.real_dtype = jnp.zeros((), dtype).real.dtype
+        # host-side metadata: an eager device op on a complex scalar
+        # crashes TPU runtimes without complex transfer/compute support
+        self.real_dtype = jnp.dtype(np.zeros((), np.dtype(jnp.dtype(dtype).name)).real.dtype)
 
     # ------------------------------------------------------------------ state
     def empty_state(self):
@@ -93,11 +95,12 @@ class LogBinner:
 
     @staticmethod
     def _normalized(state):
-        count = np.asarray(state["count"])
+        from .host import to_host  # complex-safe device->host fetch
+        count = to_host(state["count"])
         nb = count.ndim - 1  # number of leading batch axes
         counts = count.reshape(-1, count.shape[-1])[0]  # identical across batch
-        total = np.moveaxis(np.asarray(state["total"]), nb, 0)
-        sumsq = np.moveaxis(np.asarray(state["sumsq"]), nb, 0)
+        total = np.moveaxis(to_host(state["total"]), nb, 0)
+        sumsq = np.moveaxis(to_host(state["sumsq"]), nb, 0)
         return counts, total, sumsq
 
     @staticmethod
