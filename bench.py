@@ -79,12 +79,18 @@ def bench_dqmc():
     jax.block_until_ready(state["S_U"])
     sweep = jax.jit(jax.vmap(partial(core.sweep_pair, ctx, consts)))
     state, _, _ = sweep(state)  # compile + warmup
-    jax.block_until_ready(state["G"])
+    # force a HOST fetch, not just block_until_ready: on the tunneled
+    # runtime block_until_ready can return while the computation is still
+    # in flight, which once produced a nonsense 3e6 sweeps/s reading
+    float(jnp.sum(jnp.real(state["G"])))
     t0 = time.time()
     for _ in range(SWEEPS):
         state, _, _ = sweep(state)
-    jax.block_until_ready(state["G"])
+    float(jnp.sum(jnp.real(state["G"])))
     dt = time.time() - t0
+    assert dt > 1e-3 * SWEEPS, (
+        f"bench timing implausible ({dt:.4f}s for {SWEEPS} sweeps) — "
+        "async dispatch was not flushed")
     drift = {
         "max": float(jnp.max(state["prop_err_max"])),
         "mean": float(jnp.sum(state["prop_err_sum"]) /
