@@ -88,8 +88,11 @@ def bench_dqmc():
         state, _, _ = sweep(state)
     float(jnp.sum(jnp.real(state["G"])))
     dt = time.time() - t0
-    assert dt > 1e-3 * SWEEPS, (
-        f"bench timing implausible ({dt:.4f}s for {SWEEPS} sweeps) — "
+    # plausibility floor: even a perfect chip cannot finish one batched
+    # sweep (2*M*N site updates x N_CHAINS chains) in under ~10 us; a
+    # sub-floor reading means async dispatch was not actually flushed
+    assert dt > 10e-6 * SWEEPS, (
+        f"bench timing implausible ({dt:.6f}s for {SWEEPS} sweeps) — "
         "async dispatch was not flushed")
     drift = {
         "max": float(jnp.max(state["prop_err_max"])),

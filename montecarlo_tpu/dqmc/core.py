@@ -39,6 +39,7 @@ from jax import lax
 
 from ..ops.linalg import (udt_dirty, udt_dirty_colscaled, udt_well_conditioned,
                           scatter_columns, calculate_greens)
+from ..utils.host import real_dtype
 
 
 @dataclass(frozen=True)
@@ -113,15 +114,13 @@ class DQMCContext:
 
     @property
     def rdtype(self):
-        """Real counterpart of dtype (D factors, drift stats, uniforms).
-        Computed host-side (numpy) — an eager device op on a complex scalar
-        crashes TPU runtimes without complex support."""
-        return jnp.dtype(np.zeros((), np.dtype(jnp.dtype(self.dtype).name)).real.dtype)
+        """Real counterpart of dtype (D factors, drift stats, uniforms)."""
+        return real_dtype(self.dtype)
 
     @property
     def urdtype(self):
-        """Real counterpart of the update dtype (host-side, see rdtype)."""
-        return jnp.dtype(np.zeros((), np.dtype(jnp.dtype(self.udtype).name)).real.dtype)
+        """Real counterpart of the update dtype."""
+        return real_dtype(self.udtype)
 
     @property
     def n_seg(self):
@@ -162,7 +161,7 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
             update_dtype = _cplx.get(np.dtype(update_dtype),
                                      jnp.dtype(update_dtype))
         if (jnp.dtype(dtype) == jnp.complex128
-                and jax.default_backend() not in ("cpu",)):
+                and jax.default_backend() == "tpu"):
             import warnings
             warnings.warn(
                 "complex128 is unreliable on TPU runtimes (double-float "
@@ -194,7 +193,9 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     # without complex transfer support. Real sessions keep them on device —
     # numpy constants measured a ~1000x slowdown on the tunneled runtime
     # (per-call constant processing).
-    if np.iscomplexobj(T):
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        # covers both ways a session becomes complex: complex hopping AND an
+        # explicitly complex dtype over real hopping
         _mk = lambda a, dt: np.asarray(a, np.dtype(jnp.dtype(dt).name))
     else:
         _mk = lambda a, dt: jnp.asarray(a, dt)
@@ -258,7 +259,7 @@ def eV_diag(ctx, sigma_l, power=1.0, dtype=None):
     """diag of exp(-power*dtau*V(l)) as (F, N). sigma_l: (N,) int8.
     Always REAL (the Hirsch factor is real even for complex hopping);
     broadcasting promotes against complex propagators."""
-    dtype = jnp.dtype(np.zeros((), np.dtype(jnp.dtype(dtype or ctx.dtype).name)).real.dtype)
+    dtype = real_dtype(dtype or ctx.dtype)
     s = sigma_l.astype(dtype)
     return jnp.exp(dtype.type(power * ctx.lamb) * _signs(ctx, dtype)[:, None] * s[None, :])
 

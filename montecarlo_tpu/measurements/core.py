@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.binner import LogBinner
-from ..utils.host import to_host
 
 
 @dataclass
@@ -95,29 +94,29 @@ class ObservableResult:
     def __init__(self, state):
         self._state = state
 
-    # statistics are returned as HOST numpy via to_host: complex binner
-    # states (Peierls sessions) cannot be fetched as complex buffers on some
-    # TPU runtimes, and host values are what callers do numpy math on anyway
+    # All statistics are HOST numpy: the device->host transfer happens once
+    # in LogBinner._normalized via utils.host.to_host (complex binner states
+    # cannot be fetched as complex buffers on some TPU runtimes).
 
     @property
     def per_chain_mean(self):
-        return to_host(LogBinner.mean(self._state))
+        return LogBinner.mean(self._state)
 
     @property
     def mean(self):
-        return to_host(LogBinner.combined_mean(self._state))
+        return LogBinner.combined_mean(self._state)
 
     @property
     def std_error(self):
-        return to_host(LogBinner.combined_std_error(self._state))
+        return LogBinner.combined_std_error(self._state)
 
     @property
     def per_chain_std_error(self):
-        return to_host(LogBinner.std_error(self._state))
+        return LogBinner.std_error(self._state)
 
     @property
     def var(self):
-        return to_host(LogBinner.var(self._state))
+        return LogBinner.var(self._state)
 
     @property
     def tau(self):
@@ -157,7 +156,11 @@ class MeasurementRegistry:
         import warnings
         for k, st in saved.items():
             if k in self.states:
-                self.states[k] = jax.tree_util.tree_map(jnp.asarray, st)
+                # jit the device upload: EAGER creation/conversion of complex
+                # arrays is unimplemented on some TPU runtimes (mirror of the
+                # jitted construction in Measurement.bind)
+                self.states[k] = jax.jit(
+                    lambda t: jax.tree_util.tree_map(jnp.asarray, t))(st)
             else:
                 warnings.warn(
                     f"checkpoint carries {what} state for measurement {k!r} "

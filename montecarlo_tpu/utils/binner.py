@@ -45,9 +45,8 @@ class LogBinner:
         self.shape = tuple(shape)
         self.dtype = jnp.dtype(dtype)
         self.depth = int(depth)
-        # host-side metadata: an eager device op on a complex scalar
-        # crashes TPU runtimes without complex transfer/compute support
-        self.real_dtype = jnp.dtype(np.zeros((), np.dtype(jnp.dtype(dtype).name)).real.dtype)
+        from .host import real_dtype as _rd
+        self.real_dtype = _rd(dtype)
 
     # ------------------------------------------------------------------ state
     def empty_state(self):

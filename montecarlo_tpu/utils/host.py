@@ -14,6 +14,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def real_dtype(dtype):
+    """The real counterpart of a (possibly complex) dtype, computed from
+    HOST-side numpy metadata: an eager device op on a complex scalar (the
+    obvious jnp.zeros((), dtype).real route) crashes TPU runtimes without
+    complex support."""
+    return jnp.dtype(np.zeros((), np.dtype(jnp.dtype(dtype).name)).real.dtype)
+
+
 def to_host(x):
     """np.asarray(x) that works for complex device arrays on runtimes
     without complex transfer support (fetched as a real/imag pair)."""

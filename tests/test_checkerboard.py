@@ -139,20 +139,3 @@ def test_checkerboard_checkpoint_roundtrip(tmp_path):
     mc2 = load(fn)
     assert mc2.ctx.checkerboard
     assert np.allclose(np.asarray(mc2.consts["eT2"]), np.asarray(mc.consts["eT2"]))
-
-def test_honeycomb_hubbard_half_filling():
-    """DQMC on the native 2-site-basis honeycomb (reference's honeycomb.jl is
-    entirely commented out — this exceeds it): the attractive model at mu=0
-    on a bipartite lattice is exactly half filled by particle-hole symmetry."""
-    from montecarlo_tpu import DQMC
-    from montecarlo_tpu.lattices.library import Honeycomb
-    lat = Honeycomb(2)                      # 2x2 cells x 2-site basis = 8
-    model = HubbardModelAttractive(l=lat, U=4.0, mu=0.0)
-    mc = DQMC(model, beta=2.0, n_chains=32, seed=5, sweeps=400,
-              thermalization=200, measure_rate=2, print_rate=10 ** 9)
-    assert mc.run(verbose=False)
-    assert mc.analysis.propagation_error.max < 1e-7
-    obs = mc.observables()["occ"]["occ"]
-    occ = float(np.mean(obs.mean))
-    err = float(np.mean(obs.std_error))
-    assert abs(occ - 0.5) < max(4 * err, 0.01), (occ, err)

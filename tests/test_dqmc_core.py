@@ -125,3 +125,21 @@ def test_dqmc_driver_runs():
     # half filling at mu=0: <n> = 0.5 by particle-hole symmetry
     assert np.allclose(occ.mean, 0.5, atol=0.1)
     assert mc.analysis.propagation_error.max < 1e-7
+
+
+def test_honeycomb_hubbard_half_filling():
+    """DQMC on the native 2-site-basis honeycomb (reference's honeycomb.jl is
+    entirely commented out — this exceeds it): the attractive model at mu=0
+    on a bipartite lattice is exactly half filled by particle-hole symmetry."""
+    from montecarlo_tpu import DQMC, HubbardModelAttractive
+    from montecarlo_tpu.lattices.library import Honeycomb
+    lat = Honeycomb(2)                      # 2x2 cells x 2-site basis = 8
+    model = HubbardModelAttractive(l=lat, U=4.0, mu=0.0)
+    mc = DQMC(model, beta=2.0, n_chains=32, seed=5, sweeps=400,
+              thermalization=200, measure_rate=2, print_rate=10 ** 9)
+    assert mc.run(verbose=False)
+    assert mc.analysis.propagation_error.max < 1e-7
+    obs = mc.observables()["occ"]["occ"]
+    occ = float(np.mean(obs.mean))
+    err = float(np.mean(obs.std_error))
+    assert abs(occ - 0.5) < max(4 * err, 0.01), (occ, err)
