@@ -146,6 +146,12 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     checkerboard-factorized matrices instead of the exact exponentials
     (reference: init_checkerboard_matrices, stack.jl:185-235 + CBTrue
     multiplies; O(dtau^2) Trotter systematics, exact inverses).
+
+    delay (delayed rank-k Green's updates): the default is AUTO — 32 for
+    N >= 256, 0 (plain rank-1) below. NOTE for reproducibility-sensitive
+    users: auto selection changes the fp rounding and hence the Markov
+    trajectory of large-lattice runs relative to versions that defaulted to
+    rank-1; pass delay=0 to opt out (the algebra is identical either way).
     """
     T = np.asarray(model.hopping_matrix())
     dtau = params.delta_tau

@@ -217,6 +217,13 @@ class DQMC:
                 # matrix accumulators (Green's dtype) through the l-scan and
                 # reduce them once afterwards; the rest sum their binned
                 # contributions directly in float64.
+                #
+                # Precision trade-off (deliberate): in an f32 session the
+                # fast-path accumulators sum M per-slice kernel matrices in
+                # f32 — worst-case relative rounding ~sqrt(M)*eps_f32 ≈ 1e-6
+                # at M=100, orders of magnitude below the statistical errors
+                # of any realistic run, while f64 accumulation would push the
+                # whole tau-loop into emulated arithmetic on TPU (~30x).
                 acc0 = {}
                 for k, m in comb:
                     if m.combined_acc_shapes is not None:

@@ -120,8 +120,15 @@ class ObservableResult:
 
     @property
     def tau(self):
-        t = LogBinner.tau(self._state)
-        return np.max(t) if np.ndim(t) else t
+        """Per-component integrated autocorrelation time, per chain — the full
+        array, as the reference forwards it (src/Measurements.jl:87-114)."""
+        return LogBinner.tau(self._state)
+
+    @property
+    def max_tau(self):
+        """Scalar summary: the worst component's tau."""
+        t = self.tau
+        return float(np.max(t)) if np.ndim(t) else float(t)
 
     @property
     def count(self):

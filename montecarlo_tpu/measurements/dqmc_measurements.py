@@ -48,6 +48,24 @@ class CombinedGreensIterator:
     this implicitly (Measurement.kind == "combined")."""
 
 
+def _session_eltype(mc, model):
+    """Binner dtype matching the session's Green's element type (reference:
+    greenseltype hook, src/flavors/DQMC/DQMC_optional.jl:7-40 — the reference
+    keeps greenseltype-wide binners for every G-derived measurement).
+
+    Complex-hopping (Peierls) sessions produce complex kernel values whose
+    imaginary parts are genuine data (their statistics detect the phase
+    problem); a float64 binner would silently discard them in
+    LogBinner.push's dtype cast. Width follows the session dtype so a
+    complex64 session never allocates complex128 binners (x64-disabled TPU
+    runtimes cannot create them)."""
+    eltype = np.dtype(getattr(model, "greens_eltype", np.float64))
+    ctx = getattr(mc, "ctx", None)
+    if ctx is not None and ctx.is_complex:
+        eltype = np.dtype(jnp.dtype(ctx.dtype).name)
+    return eltype
+
+
 def _blocks(G):
     """(G_up, G_dn) views of a (F, N, N) Green's function."""
     return G[0], G[-1]
@@ -181,12 +199,7 @@ def greens_measurement(mc, model, greens_at=None, **kwargs) -> Measurement:
     marker, generic.jl:108-114)."""
     F = model.nflavors
     N = len(model.lattice)
-    eltype = np.dtype(getattr(model, "greens_eltype", np.float64))
-    ctx = getattr(mc, "ctx", None)
-    if ctx is not None and ctx.is_complex:
-        # match the session width: a complex64 session must not allocate
-        # complex128 binners (x64-disabled TPU runtimes cannot create them)
-        eltype = np.dtype(jnp.dtype(ctx.dtype).name)
+    eltype = _session_eltype(mc, model)
 
     if greens_at is None:
         def measure(greens, **_):
@@ -239,7 +252,8 @@ def _by_distance_measurement(mc, model, name, matrix_fn: Callable) -> Measuremen
         K = jax.vmap(matrix_fn)(greens)
         return {name: _bin_by_dir(K, P_np, N)}
 
-    return Measurement(name, {name: (n_dirs,)}, measure)
+    return Measurement(name, {name: (n_dirs,)}, measure,
+                       dtype=_session_eltype(mc, model))
 
 
 def charge_density_correlation(mc, model, **kwargs) -> Measurement:
@@ -267,7 +281,8 @@ def magnetization(mc, model, dir: str, **kwargs) -> Measurement:
             m = jax.vmap(mz_vector)(greens)
         return {f"m_{dir}": m}
 
-    return Measurement(f"magnetization_{dir}", {f"m_{dir}": (N,)}, measure)
+    return Measurement(f"magnetization_{dir}", {f"m_{dir}": (N,)}, measure,
+                       dtype=_session_eltype(mc, model))
 
 
 def charge_density_susceptibility(mc, model, **kwargs) -> Measurement:
@@ -296,6 +311,7 @@ def _by_distance_susceptibility(mc, model, name, matrix4_fn) -> Measurement:
         return {name: _bin_by_dir(acc[name], P_np, N)}
 
     return Measurement(name, {name: (n_dirs,)}, step, kind="combined",
+                       dtype=_session_eltype(mc, model),
                        combined_acc_shapes={name: (N, N)},
                        combined_finish_fn=finish)
 
@@ -325,7 +341,7 @@ def pairing_susceptibility(mc, model, K: int = None, **kwargs) -> Measurement:
         return {"ps": jnp.moveaxis(_bin_by_dir(acc["ps"], P_np, N), -1, 0)}
 
     return Measurement("pairing_susceptibility", {"ps": (n_dirs, K, K)}, step,
-                       kind="combined",
+                       kind="combined", dtype=_session_eltype(mc, model),
                        combined_acc_shapes={"ps": (K, K, N, N)},
                        combined_finish_fn=finish)
 
@@ -417,6 +433,7 @@ def current_current_susceptibility(mc, model, K: int = None, **kwargs) -> Measur
 
     return Measurement("current_current_susceptibility",
                        {"ccs": (n_dirs, K)}, step, kind="combined",
+                       dtype=_session_eltype(mc, model),
                        combined_acc_shapes={"ccs": (K, N, N)},
                        combined_finish_fn=finish)
 
@@ -445,7 +462,8 @@ def pairing_correlation(mc, model, K: int = None, **kwargs) -> Measurement:
             return jnp.moveaxis(binned, -1, 0)  # (n_dirs, K, K)
         return {"pc": jax.vmap(per_chain)(greens)}
 
-    return Measurement("pairing_correlation", {"pc": (n_dirs, K, K)}, measure)
+    return Measurement("pairing_correlation", {"pc": (n_dirs, K, K)}, measure,
+                       dtype=_session_eltype(mc, model))
 
 
 def charge_density(mc, model, greens_iterator=Greens, **kwargs):
