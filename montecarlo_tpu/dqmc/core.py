@@ -371,24 +371,102 @@ def extend_right(ctx, consts, conf, j, U, D, T):
 # HubbardModelRepulsive.jl:128-232)
 # ---------------------------------------------------------------------------
 
-def sweep_slice(ctx, G, sigma, u):
+# reference: abs(imag(detratio)) > 1e-6 triggers the imaginary-probability
+# monitor (DQMC.jl:554-562)
+IMAG_PROB_THRESHOLD = 1e-6
+
+
+def init_local_stats(ctx, phase=None):
+    """Per-chain local-update statistics bundle, threaded through the site
+    sweeps (reference: DQMCAnalysis counters + MagnitudeStats pushes,
+    DQMC.jl:36-47 and :546-582). Magnitude stats are (min, max, sum) of
+    log10|value| plus a count, matching the reference's MagnitudeStats
+    (DQMC.jl:4-31). `neg_*` tracks negative real detratios on the XLA update
+    paths (the fused Pallas kernel tracks only the count); complex sessions
+    additionally track the imaginary-detratio stats and the running weight
+    PHASE (the average sign)."""
+    c0 = jnp.zeros((), jnp.int32)
+    rd = ctx.rdtype
+    inf = jnp.asarray(jnp.inf, rd)
+    ls = {"acc": c0, "nneg": c0,
+          "neg_min": inf, "neg_max": -inf, "neg_sum": jnp.zeros((), rd)}
+    if ctx.is_complex:
+        ls.update(
+            phase=(phase if phase is not None else jnp.ones((), ctx.dtype)),
+            imag_count=c0,
+            imag_min=inf, imag_max=-inf, imag_sum=jnp.zeros((), rd))
+    return ls
+
+
+def _push_mag(ls, prefix, value, mask):
+    """Masked MagnitudeStats push in the log10 domain
+    (reference: push!(::MagnitudeStats, v), DQMC.jl:13-19)."""
+    lv = jnp.log10(jnp.maximum(jnp.abs(value),
+                               jnp.asarray(1e-38, ls[prefix + "_sum"].dtype)))
+    lv = lv.astype(ls[prefix + "_sum"].dtype)
+    out = dict(ls)
+    out[prefix + "_min"] = jnp.where(mask, jnp.minimum(ls[prefix + "_min"], lv),
+                                     ls[prefix + "_min"])
+    out[prefix + "_max"] = jnp.where(mask, jnp.maximum(ls[prefix + "_max"], lv),
+                                     ls[prefix + "_max"])
+    out[prefix + "_sum"] = ls[prefix + "_sum"] + jnp.where(mask, lv, 0.0)
+    return out
+
+
+def _track_detratio(ctx, ls, detratio, accept):
+    """Shared sign-problem bookkeeping for one proposal
+    (reference: DQMC.jl:551-577)."""
+    det_re = jnp.real(detratio)
+    neg = det_re < 0
+    ls = dict(ls)
+    ls["acc"] = ls["acc"] + jnp.asarray(accept, jnp.int32)
+    ls["nneg"] = ls["nneg"] + jnp.asarray(neg, jnp.int32)
+    ls = _push_mag(ls, "neg", det_re, neg)
+    if ctx.is_complex:
+        det_im = jnp.imag(detratio)
+        bad = jnp.abs(det_im) > IMAG_PROB_THRESHOLD
+        ls["imag_count"] = ls["imag_count"] + jnp.asarray(bad, jnp.int32)
+        ls = _push_mag(ls, "imag", det_im, bad)
+        # running configuration-weight phase: every ACCEPTED flip multiplies
+        # the weight by exp(-dEb)*detratio, whose phase is detratio's (the
+        # boson factor is real positive). This is the average-sign signal a
+        # re-projected Metropolis chain otherwise silently discards.
+        mag = jnp.maximum(jnp.abs(detratio), 1e-38)
+        ph = detratio / mag.astype(detratio.dtype)
+        ls["phase"] = ls["phase"] * jnp.where(accept, ph,
+                                              jnp.ones_like(ph))
+    return ls
+
+
+def _normalize_phase(ctx, ls):
+    if ctx.is_complex:
+        ls = dict(ls)
+        mag = jnp.maximum(jnp.abs(ls["phase"]), 1e-30)
+        ls["phase"] = ls["phase"] / mag.astype(ls["phase"].dtype)
+    return ls
+
+
+def sweep_slice(ctx, G, sigma, u, ls):
     """Sequential Metropolis over all sites of one time slice with rank-1
-    Green's updates per flavor block. G: (F,N,N), sigma: (N,), u: (N,) uniforms.
-    Returns (G, sigma, n_accepted, n_negative_detratio)."""
+    Green's updates per flavor block. G: (F,N,N), sigma: (N,), u: (N,) uniforms,
+    ls: local-stats bundle (init_local_stats). Returns (G, sigma, ls)."""
     if ctx.use_pallas:
         from ..ops.pallas_site_sweep import get_fused_site_sweep
         fused = get_fused_site_sweep(
             lamb=ctx.lamb, signs=ctx.signs, det_power=ctx.det_power,
             use_boson=ctx.use_boson)
         G2, s2, acc, nneg = fused(G, sigma.astype(jnp.int32), u)
-        return G2, s2.astype(sigma.dtype), acc, nneg
+        ls = dict(ls)
+        ls["acc"] = ls["acc"] + acc.astype(jnp.int32)
+        ls["nneg"] = ls["nneg"] + nneg.astype(jnp.int32)
+        return G2, s2.astype(sigma.dtype), ls
     if ctx.delay > 1:
-        return sweep_slice_delayed(ctx, G, sigma, u)
+        return sweep_slice_delayed(ctx, G, sigma, u, ls)
     ud = jnp.dtype(ctx.urdtype)
     signs = _signs(ctx, ud)
 
     def body(i, carry):
-        G, sigma, acc, nneg = carry
+        G, sigma, ls = carry
         s = sigma[i].astype(ud)
         dEb = ud.type(-2.0 * ctx.lamb) * s
         delta = jnp.expm1(signs * dEb)                   # (F,) real
@@ -398,12 +476,13 @@ def sweep_slice(ctx, G, sigma, u):
         detratio = jnp.prod(r) ** ctx.det_power
         # complex hopping: Metropolis weight is the REAL part; the imaginary
         # part is the phase problem (reference: p = real(exp(-dE)*detratio) +
-        # imaginary-probability checks, DQMC.jl:546-582)
+        # imaginary-probability checks, DQMC.jl:546-582), tracked by
+        # _track_detratio's imag stats + running phase
         det_re = jnp.real(detratio)
         w = jnp.exp(-dEb) if ctx.use_boson else ud.type(1.0)
         p = w * det_re
         accept = u[i] < p
-        nneg = nneg + jnp.asarray(det_re < 0, jnp.int32)
+        ls = _track_detratio(ctx, ls, detratio, accept)
         x = delta / r                                    # (F,)
         col = lax.dynamic_slice_in_dim(G, i, 1, axis=2)  # (F, N, 1)
         row = lax.dynamic_slice_in_dim(G, i, 1, axis=1)  # (F, 1, N)
@@ -412,15 +491,13 @@ def sweep_slice(ctx, G, sigma, u):
         coef = jnp.where(accept, x, 0.0)
         G = G - coef[:, None, None] * (IG * row)
         sigma = sigma.at[i].multiply(jnp.where(accept, -1, 1).astype(sigma.dtype))
-        acc = acc + jnp.asarray(accept, jnp.int32)
-        return (G, sigma, acc, nneg)
+        return (G, sigma, ls)
 
-    acc0 = jnp.zeros((), jnp.int32)
-    G, sigma, acc, nneg = lax.fori_loop(0, ctx.N, body, (G, sigma, acc0, acc0))
-    return G, sigma, acc, nneg
+    G, sigma, ls = lax.fori_loop(0, ctx.N, body, (G, sigma, ls))
+    return G, sigma, _normalize_phase(ctx, ls)
 
 
-def sweep_slice_delayed(ctx, G, sigma, u):
+def sweep_slice_delayed(ctx, G, sigma, u, ls):
     """Delayed (rank-k) variant of sweep_slice: identical Markov chain, but
     accepted flips are accumulated as skinny factors A (F,N,K) / B (F,K,N)
     with G_curr = G - A·B, and folded into G as ONE batched matmul per block
@@ -435,7 +512,7 @@ def sweep_slice_delayed(ctx, G, sigma, u):
     signs = _signs(ctx, ud)
 
     def site_body(j, carry, b):
-        G, A, B, sigma, acc, nneg = carry
+        G, A, B, sigma, ls = carry
         i = b * K + j
         s = sigma[i].astype(ud)
         dEb = ud.type(-2.0 * ctx.lamb) * s
@@ -452,7 +529,7 @@ def sweep_slice_delayed(ctx, G, sigma, u):
         w = jnp.exp(-dEb) if ctx.use_boson else ud.type(1.0)
         p = w * det_re
         accept = u[i] < p
-        nneg = nneg + jnp.asarray(det_re < 0, jnp.int32)
+        ls = _track_detratio(ctx, ls, detratio, accept)
         x = delta / r                                        # (F,)
         row = lax.dynamic_slice_in_dim(G, i, 1, axis=1)[:, 0]        # (F,N)
         row = row - (Arow[:, None, :] @ B)[:, 0, :]
@@ -466,29 +543,54 @@ def sweep_slice_delayed(ctx, G, sigma, u):
         B = lax.dynamic_update_slice_in_dim(B, row[:, None, :], j, axis=1)
         sigma = sigma.at[i].multiply(
             jnp.where(accept, -1, 1).astype(sigma.dtype))
-        acc = acc + jnp.asarray(accept, jnp.int32)
-        return (G, A, B, sigma, acc, nneg)
+        return (G, A, B, sigma, ls)
 
     def block_body(b, carry):
-        G, sigma, acc, nneg = carry
+        G, sigma, ls = carry
         A = jnp.zeros((F, N, K), G.dtype)
         B = jnp.zeros((F, K, N), G.dtype)
-        G, A, B, sigma, acc, nneg = lax.fori_loop(
+        G, A, B, sigma, ls = lax.fori_loop(
             0, K, lambda j, c: site_body(j, c, b),
-            (G, A, B, sigma, acc, nneg))
+            (G, A, B, sigma, ls))
         G = G - A @ B
-        return (G, sigma, acc, nneg)
+        return (G, sigma, ls)
 
-    acc0 = jnp.zeros((), jnp.int32)
-    G, sigma, acc, nneg = lax.fori_loop(
-        0, N // K, block_body, (G, sigma, acc0, acc0))
-    return G, sigma, acc, nneg
+    G, sigma, ls = lax.fori_loop(0, N // K, block_body, (G, sigma, ls))
+    return G, sigma, _normalize_phase(ctx, ls)
 
 
 # ---------------------------------------------------------------------------
 # full sweep pair  (reference: run! inner loop, DQMC.jl:420-436 — M down
 # updates then M up updates)
 # ---------------------------------------------------------------------------
+
+def udt_weight_phase(ctx, U, D, T):
+    """Phase of the fermionic configuration weight prod_f det(I + B_f)^p from
+    the UDT factors of the full slice product B = B_{M-1}...B_0 (per flavor).
+
+    Range-safe algebra: I + UDT = U·(U† + D·T) = U·Dp·(Dp⁻¹U† + Dm·T) with
+    Dp = max(D,1), Dm = min(D,1), so
+        det(I + UDT) = det(U) · det(Dp) · det(Dp⁻¹U† + Dm·T),
+    where det(Dp) is real positive and both determinant arguments are
+    O(1)-bounded (slogdet-safe at any beta). Only the SIGN factors are used.
+    Real sessions return 1. This anchors the running per-update phase
+    accumulation in _track_detratio to the true weight phase of the initial
+    configuration (the reference only monitors imag detratios per update,
+    DQMC.jl:554-562; the absolute phase is new capability)."""
+    if not ctx.is_complex:
+        return jnp.ones((), ctx.dtype)
+    Dp = jnp.maximum(D, 1.0)
+    Dm = jnp.minimum(D, 1.0)
+    Mmid = _adj_local(U) / Dp[..., :, None] + Dm[..., :, None] * T
+    sU = jnp.linalg.slogdet(U).sign
+    sM = jnp.linalg.slogdet(Mmid).sign
+    ph = jnp.prod(sU * sM) ** ctx.det_power
+    return (ph / jnp.maximum(jnp.abs(ph), 1e-30)).astype(ctx.dtype)
+
+
+def _adj_local(A):
+    return jnp.swapaxes(A, -1, -2).conj()
+
 
 def init_state(ctx, consts, conf, key):
     """Build the initial stack from a configuration
@@ -525,14 +627,12 @@ def init_state(ctx, consts, conf, key):
     # after every run chunk (DQMC._drain_counters), so they can never
     # overflow in long runs regardless of the x64 flag.
     c0 = jnp.zeros((), jnp.int32)
-    return {
+    state = {
         "conf": conf,
         "S_U": S_U, "S_D": S_D, "S_T": S_T,
         "G": G0.astype(ctx.udtype),
         "key": key,
-        "acc": c0,
         "prop": c0,
-        "neg_prob": c0,
         "prop_err_max": jnp.zeros((), ctx.rdtype),
         "prop_err_count": c0,
         # window-end drift DISTRIBUTION, not just the max: sum/count give the
@@ -544,6 +644,24 @@ def init_state(ctx, consts, conf, key):
         "prop_err_n": c0,
         "prop_err_hist": jnp.zeros((len(PROP_ERR_EDGES),), jnp.int32),
     }
+    # sign-problem magnitude stats (+ phase tracking for complex sessions);
+    # U/D/T here are the full-product factors, so the initial phase is exact
+    ls0 = init_local_stats(ctx, phase=udt_weight_phase(ctx, U, D, T))
+    for k, v in ls0.items():
+        state[_ls_key(k)] = v
+    if ctx.is_complex:
+        state["phase_meas"] = ls0["phase"]
+    return state
+
+
+def _ls_key(k):
+    """State-dict key for a local-stats field ('acc'/'neg_prob' keep their
+    legacy names; the magnitude-stat fields are prefixed)."""
+    return {"acc": "acc", "nneg": "neg_prob"}.get(k, "ls_" + k)
+
+
+def ls_from_state(ctx, state):
+    return {k: state[_ls_key(k)] for k in init_local_stats(ctx)}
 
 
 # exceedance edges for the propagation-drift histogram (per-mode diagnostics:
@@ -564,29 +682,26 @@ def _track_prop_err(ctx, perr, diff):
     return (pem, pec, pes, pen, hist)
 
 
-def _scan_slices(ctx, consts, G, conf, key, counters, slice_list, direction):
+def _scan_slices(ctx, consts, G, conf, key, ls, slice_list, direction):
     """lax.scan over the slices of one segment.
     direction +1: [sweep slice l, wrap up with updated sigma_l]
     direction -1: [wrap down with pre-update sigma_l, sweep slice l]."""
-    acc, nneg = counters
 
     def body(carry, l):
-        G, conf, key, acc, nneg = carry
+        G, conf, key, ls = carry
         key, sub = jax.random.split(key)
         u = jax.random.uniform(sub, (ctx.N,), ctx.urdtype)
         sigma = conf[:, l]
         if direction < 0:
             G = wrap_down(ctx, consts, sigma, G)
-        G, sigma, a, ng = sweep_slice(ctx, G, sigma, u)
+        G, sigma, ls = sweep_slice(ctx, G, sigma, u, ls)
         conf = conf.at[:, l].set(sigma)
         if direction > 0:
             G = wrap_up(ctx, consts, sigma, G)
-        return (G, conf, key, acc + a.astype(jnp.int32),
-                nneg + ng.astype(jnp.int32)), None
+        return (G, conf, key, ls), None
 
-    (G, conf, key, acc, nneg), _ = lax.scan(
-        body, (G, conf, key, acc, nneg), slice_list)
-    return G, conf, key, (acc, nneg)
+    (G, conf, key, ls), _ = lax.scan(body, (G, conf, key, ls), slice_list)
+    return G, conf, key, ls
 
 
 def sweep_pair(ctx, consts, state):
@@ -603,8 +718,7 @@ def sweep_pair(ctx, consts, state):
     S_U, S_D, S_T = state["S_U"], state["S_D"], state["S_T"]
     G = state["G"]
     conf_meas = conf
-    acc = state["acc"]
-    nneg = state["neg_prob"]
+    ls = ls_from_state(ctx, state)
     n_seg, sm = ctx.n_seg, ctx.sm
 
     perr = (state["prop_err_max"], state["prop_err_count"],
@@ -624,7 +738,7 @@ def sweep_pair(ctx, consts, state):
     # unrolled): this keeps the traced graph at one segment body per
     # direction, an order of magnitude smaller to compile.
     def down_body(carry, j):
-        S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, perr = carry
+        S_U, S_D, S_T, G, conf, key, rU, rD, rT, ls, perr = carry
         lU, lD, lT = S_U[j + 1], S_D[j + 1], S_T[j + 1]
         first = j == n_seg - 1
 
@@ -646,14 +760,14 @@ def sweep_pair(ctx, consts, state):
             perr = _track_prop_err(ctx, perr, jnp.max(jnp.abs(G - G_re)))
         G = G_re.astype(ctx.udtype)
         slices = jnp.arange(sm - 1, -1, -1) + j * sm       # descending
-        G, conf, key, (acc, nneg) = _scan_slices(
-            ctx, consts, G, conf, key, (acc, nneg), slices, direction=-1)
-        return (S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, perr), None
+        G, conf, key, ls = _scan_slices(
+            ctx, consts, G, conf, key, ls, slices, direction=-1)
+        return (S_U, S_D, S_T, G, conf, key, rU, rD, rT, ls, perr), None
 
     iU, iD, iT = _identity_udt(ctx)
-    carry = (S_U, S_D, S_T, G, conf, key, iU, iD, iT, acc, nneg, perr)
+    carry = (S_U, S_D, S_T, G, conf, key, iU, iD, iT, ls, perr)
     carry, _ = lax.scan(down_body, carry, jnp.arange(n_seg - 1, -1, -1))
-    S_U, S_D, S_T, G, conf, key, rU, rD, rT, acc, nneg, perr = carry
+    S_U, S_D, S_T, G, conf, key, rU, rD, rT, ls, perr = carry
     rU, rD, rT = extend_right(ctx, consts, conf, 0, rU, rD, rT)
     S_U = S_U.at[0].set(rU)
     S_D = S_D.at[0].set(rD)
@@ -673,19 +787,18 @@ def sweep_pair(ctx, consts, state):
     key, sub = jax.random.split(key)
     u = jax.random.uniform(sub, (ctx.N,), ctx.urdtype)
     sigma = conf[:, 0]
-    G, sigma, a, ng = sweep_slice(ctx, G, sigma, u)
+    G, sigma, ls = sweep_slice(ctx, G, sigma, u, ls)
     conf = conf.at[:, 0].set(sigma)
-    acc = acc + a.astype(jnp.int32)
-    nneg = nneg + ng.astype(jnp.int32)
     G_meas = G
     conf_meas = conf
+    phase_meas = ls.get("phase")
     G = wrap_up(ctx, consts, sigma, G)
-    G, conf, key, (acc, nneg) = _scan_slices(
-        ctx, consts, G, conf, key, (acc, nneg), jnp.arange(1, sm), direction=+1)
+    G, conf, key, ls = _scan_slices(
+        ctx, consts, G, conf, key, ls, jnp.arange(1, sm), direction=+1)
     lU, lD, lT = extend_left(ctx, consts, conf, 0, lU, lD, lT)
 
     def up_body(carry, j):
-        S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, perr = carry
+        S_U, S_D, S_T, G, conf, key, lU, lD, lT, ls, perr = carry
         rU, rD, rT = S_U[j], S_D[j], S_T[j]
         G_re = calculate_greens(lU, lD, lT, rU, rD, rT,
                                 ctx.greens_udt_fn)    # G_eff(j*sm)
@@ -696,15 +809,15 @@ def sweep_pair(ctx, consts, state):
         S_D = S_D.at[j].set(lD)
         S_T = S_T.at[j].set(lT)
         slices = jnp.arange(sm) + j * sm
-        G, conf, key, (acc, nneg) = _scan_slices(
-            ctx, consts, G, conf, key, (acc, nneg), slices, direction=+1)
+        G, conf, key, ls = _scan_slices(
+            ctx, consts, G, conf, key, ls, slices, direction=+1)
         lU, lD, lT = extend_left(ctx, consts, conf, j, lU, lD, lT)
-        return (S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, perr), None
+        return (S_U, S_D, S_T, G, conf, key, lU, lD, lT, ls, perr), None
 
     if n_seg > 1:
-        carry = (S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, perr)
+        carry = (S_U, S_D, S_T, G, conf, key, lU, lD, lT, ls, perr)
         carry, _ = lax.scan(up_body, carry, jnp.arange(1, n_seg))
-        S_U, S_D, S_T, G, conf, key, lU, lD, lT, acc, nneg, perr = carry
+        S_U, S_D, S_T, G, conf, key, lU, lD, lT, ls, perr = carry
     S_U = S_U.at[n_seg].set(lU)
     S_D = S_D.at[n_seg].set(lD)
     S_T = S_T.at[n_seg].set(lT)
@@ -713,9 +826,13 @@ def sweep_pair(ctx, consts, state):
     pem, pec, pes, pen, phist = perr
     state = dict(state)
     state.update(conf=conf, key=key, S_U=S_U, S_D=S_D, S_T=S_T, G=G,
-                 acc=acc, neg_prob=nneg, prop_err_max=pem, prop_err_count=pec,
+                 prop_err_max=pem, prop_err_count=pec,
                  prop_err_sum=pes, prop_err_n=pen, prop_err_hist=phist,
                  prop=state["prop"] + 2 * ctx.M * ctx.N)
+    state.update({_ls_key(k): v for k, v in ls.items()})
+    if phase_meas is not None:
+        # snapshot at the reference's measurement point, alongside G_meas
+        state["phase_meas"] = phase_meas
     _prec.__exit__(None, None, None)
     return state, G_meas, conf_meas
 
@@ -729,6 +846,27 @@ def unwrap_greens(ctx, consts, G_eff):
     """Effective → physical equal-time Green's function:
     G = e^{+dtau T/2} G_eff e^{-dtau T/2} (reference: _greens!, DQMC.jl:723-731)."""
     return consts["eThalfinv"] @ G_eff @ consts["eThalf"]
+
+
+def phase_from_conf(ctx, consts, conf):
+    """Configuration-weight phase recomputed from the HS field alone (used by
+    replay; the running chain tracks it incrementally in _track_detratio).
+    Builds UDT(B_{M-1}...B_0) with periodic restabilization, then applies
+    udt_weight_phase."""
+    if not ctx.is_complex:
+        return jnp.ones((), ctx.dtype)
+    U, D, T = _identity_udt(ctx)
+    curr = U
+    count = 0
+    for l in range(ctx.M):
+        curr = mult_B_left(ctx, consts, conf[:, l], curr)
+        count += 1
+        if count % ctx.sm == 0 or l == ctx.M - 1:
+            u, d, r, piv = udt_dirty(curr * D[:, None, :])
+            T = scatter_columns(r, piv) @ T
+            U, D = u, d
+            curr = U
+    return udt_weight_phase(ctx, U, D, T)
 
 
 def greens_from_scratch(ctx, consts, conf, slice_idx: int):

@@ -32,10 +32,34 @@ from ..utils.host import tree_to_host
 
 @dataclass
 class MagnitudeStats:
-    """Min/max/count tracker (reference: MagnitudeStats, DQMC.jl:4-31)."""
+    """Min/max/geometric-mean/count magnitude tracker (reference:
+    MagnitudeStats, DQMC.jl:4-31 — the reference stores log10(|v|) min/max/
+    sum/count; here min/max are kept linear and the sum stays in the log10
+    domain, so `mean` is the same geometric mean the reference reports)."""
 
+    min: float = math.inf
     max: float = 0.0
+    log_sum: float = 0.0
     count: int = 0
+
+    @property
+    def mean(self):
+        return 10.0 ** (self.log_sum / self.count) if self.count else 0.0
+
+    def absorb_device(self, log_min, log_max, log_sum, count):
+        """Fold in device-side per-chain (log10 min, log10 max, log10 sum,
+        count) reductions. Non-finite min/max (no magnitudes recorded — the
+        fused Pallas kernel tracks only the count) leave the extrema alone."""
+        n = int(count)
+        if n == 0:
+            return
+        lm, lx = float(log_min), float(log_max)
+        if math.isfinite(lm):
+            self.min = min(self.min, 10.0 ** lm)
+        if math.isfinite(lx):
+            self.max = max(self.max, 10.0 ** lx)
+        self.log_sum += float(log_sum)
+        self.count += n
 
 
 @dataclass
@@ -47,7 +71,14 @@ class DQMCAnalysis:
     acc_local: int = 0
     sweep_duration: float = 0.0
     negative_probability: MagnitudeStats = dataclasses.field(default_factory=MagnitudeStats)
+    # complex sessions: |Im(detratio)| > core.IMAG_PROB_THRESHOLD events
+    # (reference: imaginary_probability, DQMC.jl:554-562)
+    imaginary_probability: MagnitudeStats = dataclasses.field(default_factory=MagnitudeStats)
     propagation_error: MagnitudeStats = dataclasses.field(default_factory=MagnitudeStats)
+    # mean configuration-weight phase over chains at the last drain — the
+    # average-sign diagnostic; |avg_phase| << 1 means the phase problem is
+    # killing the signal (complex sessions only; 1.0 otherwise)
+    avg_phase: complex = 1.0 + 0.0j
     # window-end drift distribution (see core.PROP_ERR_EDGES)
     prop_err_sum: float = 0.0
     prop_err_n: int = 0
@@ -112,10 +143,16 @@ class DQMC:
     # ------------------------------------------------------------- defaults
     def default_measurements(self):
         from ..measurements import dqmc_measurements as dm
-        return {
+        out = {
             "occ": dm.occupation(self, self.model),
             "greens": dm.greens_measurement(self, self.model),
         }
+        if self.ctx.is_complex:
+            # complex sessions always carry the average-sign observable: its
+            # mean deviating from 1 is THE signal that the phase problem is
+            # biasing Re-projected estimators
+            out["sign"] = dm.sign_measurement(self, self.model)
+        return out
 
     @property
     def conf(self):
@@ -161,10 +198,11 @@ class DQMC:
         def one_sweep(carry, sweep_idx):
             states, bstates = carry
             states, G_meas, conf_meas = vsweep(states)
+            phase_meas = states.get("phase_meas")
             if meas_items:
                 def do_measure(bstates):
                     return self._measure_all(meas_items, bstates, G_meas,
-                                             conf_meas)
+                                             conf_meas, phase_meas)
 
                 bstates = lax.cond(sweep_idx % p.measure_rate == 0,
                                    do_measure, lambda b: b, bstates)
@@ -178,13 +216,16 @@ class DQMC:
 
         return block
 
-    def _measure_all(self, meas_items, bstates, G_meas, conf_meas):
+    def _measure_all(self, meas_items, bstates, G_meas, conf_meas,
+                     phase_meas=None):
         """Measurement pass, grouped by Green's-function requirement so each
         required G is computed once (reference: generate_groups,
         src/flavors/DQMC/measurements/generic.jl:121-150). Jittable.
 
         G_meas: effective equal-time G at the measurement point (C, F, N, N);
-        conf_meas: HS field snapshot at the measurement point (C, N, M).
+        conf_meas: HS field snapshot at the measurement point (C, N, M);
+        phase_meas: configuration-weight phase snapshot (C,) for complex
+        sessions (None otherwise) — consumed by sign_measurement.
         """
         ctx, consts = self.ctx, self.consts
         vunwrap = jax.vmap(partial(core.unwrap_greens, ctx, consts))
@@ -194,7 +235,8 @@ class DQMC:
         new = dict(bstates)
         G_phys = vunwrap(G_meas)
         for k, m in equal:
-            vals = m.measure_fn(greens=G_phys, conf=conf_meas)
+            vals = m.measure_fn(greens=G_phys, conf=conf_meas,
+                                phase=phase_meas)
             new[k] = m.push(bstates[k], vals)
         if gat:
             utgs = {}
@@ -335,7 +377,10 @@ class DQMC:
         self.analysis.acc_local += int(np.sum(np.asarray(st["acc"])))
         self.analysis.acc_rate = (self.analysis.acc_local /
                                   max(1, self.analysis.prop_local))
-        self.analysis.negative_probability.count += int(
+        self.analysis.negative_probability.absorb_device(
+            np.min(np.asarray(st["ls_neg_min"])),
+            np.max(np.asarray(st["ls_neg_max"])),
+            np.sum(np.asarray(st["ls_neg_sum"])),
             np.sum(np.asarray(st["neg_prob"])))
         self.analysis.propagation_error.max = max(
             self.analysis.propagation_error.max,
@@ -348,17 +393,48 @@ class DQMC:
             a + int(b) for a, b in zip(
                 self.analysis.prop_err_hist,
                 np.sum(np.asarray(st["prop_err_hist"]), axis=0))]
-        zeros = {k: jnp.zeros_like(st[k]) for k in
-                 ("prop", "acc", "neg_prob", "prop_err_max", "prop_err_count",
-                  "prop_err_sum", "prop_err_n", "prop_err_hist")}
+        reset_keys = ["prop", "acc", "neg_prob", "prop_err_max",
+                      "prop_err_count", "prop_err_sum", "prop_err_n",
+                      "prop_err_hist", "ls_neg_sum"]
+        if self.ctx.is_complex:
+            from ..utils.host import to_host
+            self.analysis.imaginary_probability.absorb_device(
+                np.min(np.asarray(st["ls_imag_min"])),
+                np.max(np.asarray(st["ls_imag_max"])),
+                np.sum(np.asarray(st["ls_imag_sum"])),
+                np.sum(np.asarray(st["ls_imag_count"])))
+            self.analysis.avg_phase = complex(np.mean(to_host(st["ls_phase"])))
+            reset_keys += ["ls_imag_count", "ls_imag_sum"]
+        zeros = {k: jnp.zeros_like(st[k]) for k in reset_keys}
+        # magnitude extrema reset to their empty values, not zero
+        inf_keys = ["ls_neg_min", "ls_neg_max"]
+        if self.ctx.is_complex:
+            inf_keys += ["ls_imag_min", "ls_imag_max"]
+        for k in inf_keys:
+            sign = 1.0 if k.endswith("_min") else -1.0
+            zeros[k] = jnp.full_like(st[k], sign * np.inf)
         self.state = {**st, **zeros}
 
     def _report_errors(self):
         """End-of-run numerical sanitizer report (reference: DQMC.jl:483-505)."""
         a = self.analysis
         if a.negative_probability.count > 0:
-            print(f"[DQMC] {a.negative_probability.count} negative "
-                  f"probabilities (sign problem?)")
+            n = a.negative_probability
+            print(f"[DQMC] {n.count} negative probabilities (sign problem?) "
+                  f"|p|: min {n.min:.2e} / geo-mean {n.mean:.2e} / "
+                  f"max {n.max:.2e}")
+        if a.imaginary_probability.count > 0:
+            im = a.imaginary_probability
+            print(f"[DQMC] {im.count} imaginary probabilities "
+                  f"(|Im detratio| > {core.IMAG_PROB_THRESHOLD:g} — phase "
+                  f"problem!) |Im|: min {im.min:.2e} / geo-mean {im.mean:.2e} "
+                  f"/ max {im.max:.2e}")
+        if self.ctx.is_complex:
+            ph = a.avg_phase
+            print(f"[DQMC] average weight phase ⟨s⟩ = "
+                  f"{ph.real:+.4f}{ph.imag:+.4f}i (|⟨s⟩| = {abs(ph):.4f}; "
+                  f"values far from 1 mean Re-projected estimators are "
+                  f"biased — see the 'sign' observable)")
         if a.propagation_error.count > 0:
             print(f"[DQMC] {a.propagation_error.count} propagation "
                   f"instabilities > {self.ctx.prop_err_threshold:g} "
@@ -395,7 +471,10 @@ class DQMC:
         def measure_all(bstates, conf):
             G_eff = jax.vmap(lambda c: core.greens_from_scratch(
                 self.ctx, self.consts, c, 0))(conf)
-            return self._measure_all(meas_items, bstates, G_eff, conf)
+            phase = (jax.vmap(lambda c: core.phase_from_conf(
+                self.ctx, self.consts, c))(conf)
+                if self.ctx.is_complex else None)
+            return self._measure_all(meas_items, bstates, G_eff, conf, phase)
 
         states = self.measurements.states
         for conf in configurations:
@@ -441,6 +520,12 @@ class DQMC:
                 "prop_local": self.analysis.prop_local,
                 "acc_local": self.analysis.acc_local,
                 "neg_prob_count": self.analysis.negative_probability.count,
+                "neg_prob_stats": dataclasses.asdict(
+                    self.analysis.negative_probability),
+                "imag_prob_stats": dataclasses.asdict(
+                    self.analysis.imaginary_probability),
+                "avg_phase": [self.analysis.avg_phase.real,
+                              self.analysis.avg_phase.imag],
                 "prop_err_max": self.analysis.propagation_error.max,
                 "prop_err_count": self.analysis.propagation_error.count,
             },
@@ -476,6 +561,17 @@ class DQMC:
             self.analysis.acc_local = int(an.get("acc_local", 0))
             self.analysis.negative_probability.count = int(
                 an.get("neg_prob_count", 0))
+            for key, target in (("neg_prob_stats",
+                                 self.analysis.negative_probability),
+                                ("imag_prob_stats",
+                                 self.analysis.imaginary_probability)):
+                saved = an.get(key)
+                if saved:
+                    for f, v in saved.items():
+                        setattr(target, f, type(getattr(target, f))(v))
+            ph = an.get("avg_phase")
+            if ph is not None:
+                self.analysis.avg_phase = complex(ph[0], ph[1])
             self.analysis.propagation_error.max = float(
                 an.get("prop_err_max", 0.0))
             self.analysis.propagation_error.count = int(

@@ -231,6 +231,27 @@ def occupation(mc, model, **kwargs) -> Measurement:
     return Measurement("occupation", {"occ": (F, N)}, measure)
 
 
+def sign_measurement(mc, model, **kwargs) -> Measurement:
+    """Average sign/phase ⟨s⟩ of the configuration weight.
+
+    Complex-hopping sessions accept with p = Re(exp(-dE)·detratio) (reference
+    semantics, DQMC.jl:573); the discarded phase is tracked per chain
+    (core._track_detratio) and snapshotted at the measurement point. ⟨s⟩
+    close to 1 certifies the run phase-problem-free; |⟨s⟩| << 1 means the
+    Re-projected estimators are biased and the flux pattern needs proper
+    phase reweighting (not implemented — match the reference, which also
+    only monitors). Real sessions measure the constant 1."""
+    eltype = _session_eltype(mc, model)
+
+    def measure(phase=None, greens=None, **_):
+        if phase is None:
+            C = greens.shape[0]
+            return {"sign": jnp.ones((C,), eltype)}
+        return {"sign": phase.astype(eltype)}
+
+    return Measurement("sign", {"sign": ()}, measure, dtype=eltype)
+
+
 def boson_energy_measurement(mc, model, **kwargs) -> Measurement:
     """HS-field energy (reference: boson_energy_measurement,
     measurements.jl:321-323)."""

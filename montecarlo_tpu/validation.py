@@ -3,53 +3,57 @@
 The f32 propagation modes trade per-window drift (reset at every UDT
 stabilization) for ~50x throughput. Whether that drift BIASES the Markov
 chain cannot be read off the drift monitor alone — the calibrated criterion
-is: a matched-seed run at the candidate safe_mult must reproduce the
-CORRELATORS (not just the occupation, the least drift-sensitive observable)
-of the drift-proof safe_mult=1 run within statistical errors.
+is: matched-seed runs at the candidate safe_mult must reproduce the
+CORRELATORS of the drift-proof safe_mult=1 runs within statistical errors.
+The observable set includes the tau-integrated susceptibilities (CDS, PS):
+they drag Green's factors through the LONGEST unstabilized windows of the
+unequal-time iterator, so they are the most drift-sensitive quantities the
+framework measures (reference accuracy gates for the same iterators:
+/root/reference/test/flavortests_DQMC.jl:149-162).
 
 `cross_sm_check` runs the candidate mode and the sm=1 anchor back to back
-and returns per-observable z-scores; `bench.py` gates its `sanity_ok` on it
-(VERDICT r1 task 2). Reference alarm semantics being calibrated here:
-src/flavors/DQMC/stack.jl:530-550 (1e-7 per stabilization in f64).
+over >= 2 independent seeds (chains pool across seeds — they are all
+independent) and returns per-observable z-scores; `bench.py` gates its
+`sanity_ok` on it (VERDICT r1 task 2 + r2 task 1). Reference alarm semantics
+being calibrated here: src/flavors/DQMC/stack.jl:530-550 (1e-7 per
+stabilization in f64).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Sequence
 
 import numpy as np
 
+DEFAULT_OBSERVABLES = ("occ", "greens", "CDC", "PC", "SDCz", "CDS", "PS")
 
-def _run_one(model_kwargs, dqmc_kwargs, observables=("occ", "CDC", "PC", "SDCz")):
-    import jax.numpy as jnp
 
+def _run_one(model_kwargs, dqmc_kwargs, observables=DEFAULT_OBSERVABLES):
+    """One run; returns {obs_key: per-chain-mean array (C, ...)} plus acc and
+    drift diagnostics under '_'-prefixed keys."""
     from . import DQMC, HubbardModelAttractive
     from .measurements import dqmc_measurements as dm
 
     model = HubbardModelAttractive(**model_kwargs)
     mc = DQMC(model, **dqmc_kwargs)
-    if "CDC" in observables:
-        mc.measurements.add("CDC", dm.charge_density_correlation(mc, model),
-                            mc.n_chains)
-    if "PC" in observables:
-        mc.measurements.add("PC", dm.pairing_correlation(mc, model, K=4),
-                            mc.n_chains)
-    if "SDCz" in observables:
-        mc.measurements.add("SDCz", dm.spin_density_correlation(mc, model, "z"),
-                            mc.n_chains)
+    adders = {
+        "CDC": lambda: dm.charge_density_correlation(mc, model),
+        "PC": lambda: dm.pairing_correlation(mc, model, K=4),
+        "SDCz": lambda: dm.spin_density_correlation(mc, model, "z"),
+        # tau-integrated susceptibilities: the longest-window stress test
+        "CDS": lambda: dm.charge_density_susceptibility(mc, model),
+        "PS": lambda: dm.pairing_susceptibility(mc, model, K=4),
+    }
+    for key, make in adders.items():
+        if key in observables:
+            mc.measurements.add(key, make(), mc.n_chains)
     mc.run(verbose=False, chunk=50)
     out = {}
     obs = mc.observables()
     for key in obs:
         for name, res in obs[key].items():
             if hasattr(res, "per_chain_mean"):
-                # cross-chain statistics: chains are INDEPENDENT, so the
-                # empirical scatter of per-chain means gives an
-                # autocorrelation-free standard error of the pooled mean
-                pc = np.asarray(res.per_chain_mean)
-                C = pc.shape[0]
-                out[f"{key}/{name}"] = (pc.mean(axis=0),
-                                        pc.std(axis=0, ddof=1) / np.sqrt(C))
+                out[f"{key}/{name}"] = np.asarray(res.per_chain_mean)
     out["_acc"] = mc.analysis.acc_rate
     out["_perr_mean"] = mc.analysis.prop_err_mean
     out["_perr_hist"] = list(mc.analysis.prop_err_hist)
@@ -60,15 +64,19 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                    mu: float = 0.0, dtype: str = "float32",
                    safe_mult: int = 10, anchor_sm: int = 1,
                    n_chains: int = 64, sweeps: int = 300,
-                   thermalization: int = 100, seed: int = 123,
-                   alpha: float = 0.01, use_pallas: bool = False) -> Dict:
+                   thermalization: int = 100,
+                   seeds: Sequence[int] = (123, 321),
+                   alpha: float = 0.01, use_pallas: bool = False,
+                   observables: Sequence[str] = DEFAULT_OBSERVABLES) -> Dict:
     """Matched-seed comparison of the candidate (dtype, safe_mult) mode
-    against the drift-proof anchor (same dtype, safe_mult=anchor_sm).
+    against the drift-proof anchor (same dtype, safe_mult=anchor_sm), pooled
+    over multiple independent seeds.
 
     Returns {"ok": bool, "z": {obs: max z-score}, per-observable
-    Bonferroni-scaled thresholds, acc + drift stats}. Standard errors are
-    the empirical cross-chain scatter (chains are independent, so no
-    autocorrelation correction is needed), and each observable's alarm
+    Bonferroni-scaled thresholds, acc + drift stats}. Per-chain means are
+    POOLED across seeds (every chain is an independent Markov chain, so the
+    empirical cross-chain scatter of len(seeds)*n_chains means gives an
+    autocorrelation-free standard error), and each observable's alarm
     threshold accounts for its number of components: the max of n standard
     normals is ~sqrt(2 ln n), so a flat cutoff would false-alarm on the
     4096-component Green's function while being too lax on scalars. The
@@ -80,20 +88,34 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
     import jax.numpy as jnp
 
     mk = dict(dims=2, L=L, U=U, mu=mu)
-    common = dict(beta=beta, n_chains=n_chains, seed=seed, sweeps=sweeps,
+    common = dict(beta=beta, n_chains=n_chains, sweeps=sweeps,
                   thermalization=thermalization, measure_rate=5,
                   print_rate=10 ** 9, dtype=jnp.dtype(dtype),
                   use_pallas=use_pallas)
-    cand = _run_one(mk, dict(common, safe_mult=safe_mult))
-    anch = _run_one(mk, dict(common, safe_mult=anchor_sm))
+
+    def pooled(sm):
+        runs = [_run_one(mk, dict(common, safe_mult=sm, seed=s),
+                         observables=observables) for s in seeds]
+        out = {}
+        for key in runs[0]:
+            if key.startswith("_"):
+                out[key] = [r[key] for r in runs]
+            else:
+                out[key] = np.concatenate([r[key] for r in runs], axis=0)
+        return out
+
+    cand = pooled(safe_mult)
+    anch = pooled(anchor_sm)
     zs, tols = {}, {}
     ok = True
     for key in cand:
         if key.startswith("_"):
             continue
-        m1, e1 = cand[key]
-        m2, e2 = anch[key]
-        err = np.sqrt(e1 ** 2 + e2 ** 2)
+        pc1, pc2 = cand[key], anch[key]
+        C = pc1.shape[0]
+        m1, e1 = pc1.mean(axis=0), pc1.std(axis=0, ddof=1) / np.sqrt(C)
+        m2, e2 = pc2.mean(axis=0), pc2.std(axis=0, ddof=1) / np.sqrt(C)
+        err = np.sqrt(np.abs(e1) ** 2 + np.abs(e2) ** 2)
         err = np.maximum(err, 1e-12)
         n_comp = int(np.size(m1))
         zs[key] = float(np.max(np.abs(m1 - m2) / err))
@@ -101,6 +123,7 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
         ok = ok and zs[key] < tols[key]
     return {
         "ok": bool(ok),
+        "seeds": list(seeds),
         "z": zs,
         "z_tol": tols,
         "candidate": {"safe_mult": safe_mult, "acc": cand["_acc"],

@@ -31,12 +31,13 @@ def test_pallas_matches_xla_sweep(model_cls):
     G2, s2, acc, nneg = jax.vmap(lambda g, s, uu: pss.site_sweep_pallas(
         g, s, uu, lamb=ctx.lamb, signs=ctx.signs,
         det_power=ctx.det_power, use_boson=ctx.use_boson))(G, sigma, u)
-    Gr, sr, accr, nnegr = jax.vmap(
-        lambda g, s, uu: core.sweep_slice(ctx, g, s.astype(jnp.int8), uu)
+    Gr, sr, lsr = jax.vmap(
+        lambda g, s, uu: core.sweep_slice(ctx, g, s.astype(jnp.int8), uu,
+                                          core.init_local_stats(ctx))
     )(G, sigma, u)
     assert np.max(np.abs(np.asarray(G2 - Gr))) < 1e-5
     assert np.array_equal(np.asarray(s2), np.asarray(sr, dtype=np.int32))
-    assert np.array_equal(np.asarray(acc), np.asarray(accr))
+    assert np.array_equal(np.asarray(acc), np.asarray(lsr["acc"]))
 
 
 def test_pallas_dqmc_end_to_end():

@@ -1,0 +1,111 @@
+"""Phase-problem observability gates (complex non-pure-gauge flux).
+
+The reference detects and magnitude-tracks imaginary Metropolis weights
+(/root/reference/src/flavors/DQMC/DQMC.jl:554-569 with MagnitudeStats,
+DQMC.jl:4-31). Here that monitoring is exercised where it matters: a ring
+with NON-ZERO total flux is not gauge-trivial, the instantaneous G_ii in a
+generic HS background is complex, and the Metropolis detratio acquires a
+genuine phase that the reference-semantics acceptance p = Re(...) silently
+projects away. The framework must (a) fire the imaginary-probability
+monitor, (b) expose an average-sign observable ⟨s⟩ that visibly deviates
+from 1, and (c) track the running weight phase consistently with an exact
+recomputation from the configuration.
+
+Control: a PURE-GAUGE phase pattern keeps detratios exactly real — the
+monitor must stay silent and ⟨s⟩ must be exactly 1.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlo_tpu import DQMC, HubbardModelAttractive
+from montecarlo_tpu.dqmc import core
+from tests.ed_oracle import EDSolution
+
+
+def _flux_ring(L, flux):
+    """Peierls phases for a 1D periodic ring threaded by total flux `flux`
+    (radians): theta = flux/L on every bond i -> i+1. Non-removable by any
+    on-site gauge for flux != 0 (mod 2 pi)."""
+    th = np.zeros((L, L))
+    for i in range(L):
+        j = (i + 1) % L
+        th[i, j] = flux / L
+        th[j, i] = -flux / L
+    return th
+
+
+def _run(L=4, flux=2.5, beta=2.0, seed=3, n_chains=16, sweeps=200,
+         thermalization=50):
+    # NOTE flux=pi is gauge-equivalent to a REAL Hamiltonian (one negative
+    # bond), so the weights are exactly real there; flux=2.5 at beta=2 gives
+    # a measured |1 - <s>| ~ 6e-3 — comfortably detectable
+    model = HubbardModelAttractive(dims=1, L=L, U=4.0, mu=0.1,
+                                   peierls=_flux_ring(L, flux))
+    mc = DQMC(model, beta=beta, delta_tau=0.1, n_chains=n_chains, seed=seed,
+              sweeps=sweeps, thermalization=thermalization, measure_rate=5,
+              print_rate=10 ** 9)
+    mc.run(verbose=False)
+    return mc
+
+
+def test_flux_ring_fires_phase_monitors():
+    mc = _run()
+    a = mc.analysis
+    # (a) imaginary-probability monitor fired, with populated magnitude stats
+    assert a.imaginary_probability.count > 0
+    assert 0.0 < a.imaginary_probability.min <= a.imaginary_probability.max
+    assert a.imaginary_probability.mean > 0.0
+    # (b) the default sign observable exists for complex sessions and its
+    # mean deviates measurably from 1
+    s = mc.observables()["sign"]["sign"]
+    s_mean = complex(np.asarray(s.mean))
+    assert abs(s_mean - 1.0) > 1e-3, s_mean
+    assert abs(a.avg_phase) <= 1.0 + 1e-9
+    # (c) running phase == exact recomputation from the final configuration
+    ph_run = np.asarray(mc.state["ls_phase"])
+    ph_exact = np.asarray(jax.jit(jax.vmap(
+        lambda c: core.phase_from_conf(mc.ctx, mc.consts, c)))(
+            mc.state["conf"]))
+    np.testing.assert_allclose(ph_run, ph_exact, atol=1e-7)
+
+
+def test_pure_gauge_keeps_monitors_silent():
+    L = 4
+    phis = np.linspace(0.0, 1.3, L)
+    th = phis[:, None] - phis[None, :]
+    model = HubbardModelAttractive(dims=1, L=L, U=4.0, mu=0.1, peierls=th)
+    mc = DQMC(model, beta=1.0, delta_tau=0.1, n_chains=8, seed=3,
+              sweeps=60, thermalization=20, measure_rate=5,
+              print_rate=10 ** 9)
+    mc.run(verbose=False)
+    assert mc.analysis.imaginary_probability.count == 0
+    s_mean = complex(np.asarray(mc.observables()["sign"]["sign"].mean))
+    assert abs(s_mean - 1.0) < 1e-9
+    assert abs(mc.analysis.avg_phase - 1.0) < 1e-9
+
+
+@pytest.mark.slow
+def test_flux_ring_bias_vs_ed_is_flagged():
+    """At strong flux the Re-projected estimators may be biased relative to
+    ED (reweighting is not implemented, matching the reference); the CONTRACT
+    is that any such run is flagged by ⟨s⟩ != 1 and the imag monitor. The
+    pure-gauge ED agreement test (test_complex_hopping) covers the unbiased
+    side."""
+    mc = _run(sweeps=2000, thermalization=500, n_chains=32)
+    obs = mc.observables()
+    occ = np.asarray(obs["occ"]["occ"].mean)[0]
+    occ_err = np.asarray(obs["occ"]["occ"].std_error)[0]
+    model = mc.model
+    ed = EDSolution(model.lattice, U=4.0, mu=0.1, attractive=True,
+                    T_mat=model.hopping_matrix())
+    occ_ed = ed.occupation(2.0)
+    dev = np.max(np.abs(occ - occ_ed) / np.maximum(occ_err, 1e-4))
+    s_mean = complex(np.asarray(obs["sign"]["sign"].mean))
+    # the monitoring contract: whenever the phase problem is active the run
+    # says so, loudly
+    assert mc.analysis.imaginary_probability.count > 0
+    assert abs(s_mean - 1.0) > 1e-3
+    print(f"flux-ring: max |occ - ED|/err = {dev:.2f}, <s> = {s_mean:.4f}")
