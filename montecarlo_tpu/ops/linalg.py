@@ -38,6 +38,27 @@ def _qr(A):
     return maybe_qr(A)
 
 
+def argsort_desc(v):
+    """Permutation sorting v descending (ties: lower index first) — exactly
+    ``jnp.argsort(-v)`` but sort-free: for the short per-chain vectors of DQMC
+    (N ≤ a few hundred) two O(N²) compare-reduces are ~3x cheaper on TPU than
+    XLA's bitonic sort networks (measured 0.091 → 0.035 ms for the full
+    pivot+gather at (256, 64)).
+
+    rank[j] = #{k: v[k] > v[j]} + #{k < j: v[k] == v[j]}  (= position of j)
+    piv[r]  = the j with rank[j] == r                      (inverse, scatter)
+    """
+    n = v.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    gt = (v[..., None, :] > v[..., :, None]).astype(jnp.int32)
+    tie = ((v[..., None, :] == v[..., :, None])
+           & (idx[None, :] < idx[:, None])).astype(jnp.int32)
+    rank = jnp.sum(gt + tie, axis=-1)                    # (..., n)
+    onehot = (rank[..., :, None] == idx).astype(jnp.int32)   # [j, r]
+    piv = jnp.sum(onehot * idx[..., :, None], axis=-2)       # (..., n)
+    return piv.astype(jnp.int32), rank.astype(jnp.int32)
+
+
 def udt_dirty(A):
     """A = U · diag(D) · T  with  T = R[:, inv_piv] (i.e. T·P = R upper-tri).
 
@@ -63,7 +84,7 @@ def udt_dirty(A):
     mx = jnp.exp2(jnp.ceil(jnp.log2(mx)) - 50.0)  # exact; max entry → ~2^50
     As = A / mx
     norms = jnp.linalg.norm(As, axis=-2)
-    piv = jnp.argsort(-norms, axis=-1)
+    piv, _ = argsort_desc(norms)
     Ap = jnp.take_along_axis(As, piv[..., None, :], axis=-1)
     Q, R = _qr(Ap)
     # complex-correct: D = |r_ii| (the complex modulus — the phase stays in
@@ -108,7 +129,7 @@ def udt_dirty_colscaled(A):
     m = jnp.maximum(jnp.max(jnp.abs(A), axis=-2), jnp.finfo(A.dtype).tiny)
     s = m * jnp.linalg.norm(A / m[..., None, :], axis=-2)
     s = jnp.maximum(s, jnp.finfo(A.dtype).tiny)
-    piv = jnp.argsort(-s, axis=-1)
+    piv, _ = argsort_desc(s)
     sp = jnp.take_along_axis(s, piv, axis=-1)
     Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1) / sp[..., None, :]
     Q, R = _qr(Ap)
@@ -129,18 +150,100 @@ def udt(A):
     return U, D, T
 
 
+def invert_permutation(piv):
+    """Sort-free inverse of a batched permutation: ipiv[piv[j]] = j."""
+    n = piv.shape[-1]
+    idx = jnp.arange(n, dtype=piv.dtype)
+    onehot = (piv[..., :, None] == idx).astype(piv.dtype)    # [j, r]
+    return jnp.sum(onehot * idx[..., :, None], axis=-2)
+
+
 def scatter_columns(R, piv):
     """Given M and piv with A[..., :, piv] = M, return A (apply P^T on the
     right): out[..., :, piv[j]] = M[..., :, j]."""
-    ipiv = jnp.argsort(piv, axis=-1)
+    ipiv = invert_permutation(piv)
     return jnp.take_along_axis(R, ipiv[..., None, :], axis=-1)
+
+
+# Explicit-inverse path for the dirty-R triangular solves. None = auto (on for
+# 32-bit dtypes on the TPU backend, where XLA's substitution-based
+# triangular_solve costs ~0.21 ms per (256,64,64) call inside a scan vs
+# ~0.06 ms for the matmul-only blocked inverse); True/False force.
+TRI_INV = None
+
+
+def _tri_inv_enabled(dtype):
+    if TRI_INV is not None:
+        return TRI_INV
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    return jnp.dtype(dtype) in (jnp.float32, jnp.complex64)
+
+
+def _nilpotent_inv(T):
+    """(..., b, b) upper-triangular with EXACT unit diagonal → inverse via the
+    binary product form (I+U)^{-1} = (I-U)(I+U²)(I+U⁴)…, exact for nilpotent
+    U (strictly upper, U^b = 0). Pure batched matmuls."""
+    b = T.shape[-1]
+    I = jnp.eye(b, dtype=T.dtype)
+    P = I - T                       # -U
+    out = I + P
+    cover = 2                       # exponents 0..cover-1 accumulated
+    while cover < b:
+        P = P @ P
+        out = out + out @ P
+        cover *= 2
+    return out
+
+
+def tri_unit_inv(R, block=8):
+    """Inverse of a batched upper-triangular R with unit-MAGNITUDE diagonal
+    (the "dirty T" of udt_dirty), as pure MXU matmuls: row-normalize to unit
+    diagonal, invert the (b×b) diagonal blocks with the nilpotent product
+    form, then one block-level nilpotent product over the nb×nb block
+    structure. ~4x faster than lax.triangular_solve at DQMC sizes on TPU.
+
+    Forward error is ~cond(R)·eps like substitution; the intermediate block
+    powers are bounded because column-pivoted dirty R has |R_ij| ≲ |R_ii| = 1
+    (greedy-pivot property, reference udt_AVX_pivot!,
+    src/linalg/UDT.jl:192-281). Gated by tests/test_linalg.py against the
+    substitution path on graded DQMC-like factors."""
+    n = R.shape[-1]
+    d = jnp.diagonal(R, axis1=-2, axis2=-1)
+    Rn = R / d[..., :, None]                      # exact unit diagonal
+    if n <= block or n % block:
+        return _nilpotent_inv(Rn) / d[..., None, :]
+    nb = n // block
+    lead = R.shape[:-2]
+    Rb = Rn.reshape(lead + (nb, block, nb, block))
+    Db = jnp.moveaxis(jnp.diagonal(Rb, axis1=-4, axis2=-2), -1, -3)
+    Dbinv = _nilpotent_inv(Db)                    # (..., nb, b, b)
+    # Db^{-1}·Rn = I + M, M strictly block-upper (M^nb = 0)
+    DbR = jnp.einsum("...ibk,...ikc->...ibc", Dbinv,
+                     Rn.reshape(lead + (nb, block, n))).reshape(lead + (n, n))
+    I = jnp.eye(n, dtype=R.dtype)
+    P = I - DbR                                   # -M
+    out = I + P
+    cover = 2
+    while cover < nb:
+        P = P @ P
+        out = out + out @ P
+        cover *= 2
+    # (I+M)^{-1} · Db^{-1}: scale block-columns
+    out = jnp.einsum("...rib,...ibc->...ric",
+                     out.reshape(lead + (n, nb, block)),
+                     Dbinv).reshape(lead + (n, n))
+    return out / d[..., None, :]
 
 
 def rdiv_dirty(A, R, piv):
     """A · T^{-1} where T = scatter_columns(R, piv)
     (reference: rdivp!, src/linalg/general.jl:138-166).
-    = A[..., :, piv] @ R^{-1} via batched triangular solve."""
+    = A[..., :, piv] @ R^{-1} via batched triangular solve (explicit blocked
+    inverse on TPU 32-bit paths, see TRI_INV)."""
     Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1)
+    if _tri_inv_enabled(R.dtype):
+        return Ap @ tri_unit_inv(R)
     return lax.linalg.triangular_solve(R, Ap, left_side=False, lower=False)
 
 

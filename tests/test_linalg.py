@@ -158,3 +158,80 @@ def test_udt_complex():
     # the unstabilized direct inverse itself carries ~cond*eps error at
     # cond ~ 1e12; 1e-6 agreement certifies the stabilized path
     assert np.max(np.abs(np.asarray(G) - direct)) < 1e-6
+
+
+# --------------------------------------------------- blocked triangular inverse
+def _graded_dirty_R(key, B, N, dtype=jnp.float32, spread=8.0):
+    """Dirty-R factors as DQMC produces them: udt_dirty of a strongly
+    column-graded random product."""
+    from montecarlo_tpu.ops.linalg import udt_dirty
+    A = jax.random.normal(key, (B, N, N), dtype)
+    scales = jnp.exp(jnp.linspace(spread, -spread, N)).astype(dtype)
+    _, _, R, piv = udt_dirty(A * scales[None, None, :])
+    return R, piv
+
+
+@pytest.mark.parametrize("N", [8, 64, 72])
+def test_tri_unit_inv_matches_substitution(N):
+    from montecarlo_tpu.ops import linalg
+    key = jax.random.PRNGKey(3)
+    R, _ = _graded_dirty_R(key, 16, N)
+    X = jax.random.normal(jax.random.PRNGKey(4), (16, N, N), jnp.float32)
+    ref = jax.lax.linalg.triangular_solve(R, X, left_side=False, lower=False)
+    got = X @ linalg.tri_unit_inv(R)
+    scale = np.max(np.abs(np.asarray(ref)))
+    assert np.max(np.abs(np.asarray(ref - got))) < 5e-5 * max(scale, 1.0)
+
+
+def test_tri_unit_inv_exact_inverse_property():
+    from montecarlo_tpu.ops import linalg
+    R, _ = _graded_dirty_R(jax.random.PRNGKey(5), 8, 64)
+    Ri = linalg.tri_unit_inv(R)
+    I = jnp.eye(64, dtype=jnp.float32)
+    resid = np.max(np.abs(np.asarray(R @ Ri - I)))
+    assert resid < 1e-4
+
+
+def test_tri_unit_inv_complex():
+    from montecarlo_tpu.ops import linalg
+    key = jax.random.PRNGKey(6)
+    A = (jax.random.normal(key, (4, 64, 64), jnp.float32)
+         + 1j * jax.random.normal(jax.random.PRNGKey(7), (4, 64, 64), jnp.float32)
+         ).astype(jnp.complex64)
+    scales = jnp.exp(jnp.linspace(6.0, -6.0, 64)).astype(jnp.float32)
+    from montecarlo_tpu.ops.linalg import udt_dirty
+    _, _, R, _ = udt_dirty(A * scales[None, None, :])
+    Ri = linalg.tri_unit_inv(R)
+    resid = np.max(np.abs(np.asarray(R @ Ri - jnp.eye(64, dtype=jnp.complex64))))
+    assert resid < 1e-3
+
+
+def test_rdiv_dirty_tri_inv_path_matches_solve_path():
+    from montecarlo_tpu.ops import linalg
+    R, piv = _graded_dirty_R(jax.random.PRNGKey(8), 16, 64)
+    A = jax.random.normal(jax.random.PRNGKey(9), (16, 64, 64), jnp.float32)
+    old = linalg.TRI_INV
+    try:
+        linalg.TRI_INV = False
+        ref = linalg.rdiv_dirty(A, R, piv)
+        linalg.TRI_INV = True
+        got = linalg.rdiv_dirty(A, R, piv)
+    finally:
+        linalg.TRI_INV = old
+    scale = np.max(np.abs(np.asarray(ref)))
+    assert np.max(np.abs(np.asarray(ref - got))) < 5e-5 * max(scale, 1.0)
+
+
+def test_argsort_desc_matches_argsort():
+    from montecarlo_tpu.ops.linalg import argsort_desc, invert_permutation
+    v = jnp.abs(jax.random.normal(jax.random.PRNGKey(10), (32, 64)))
+    # inject ties
+    v = v.at[:, 10].set(v[:, 20])
+    piv, rank = argsort_desc(v)
+    ref = jnp.argsort(-v, axis=-1, stable=True)
+    assert np.array_equal(np.asarray(piv), np.asarray(ref))
+    ipiv = invert_permutation(piv)
+    assert np.array_equal(np.take_along_axis(np.asarray(piv),
+                                             np.asarray(ipiv), -1),
+                          np.broadcast_to(np.arange(64), (32, 64)))
+    assert np.array_equal(np.asarray(rank), np.asarray(ipiv))
