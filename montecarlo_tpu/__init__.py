@@ -65,6 +65,7 @@ _EXPORTS = {
     "current_current_susceptibility": "measurements",
     "Greens": "measurements", "GreensAt": "measurements",
     "CombinedGreensIterator": "measurements",
+    "custom_measurement": "measurements", "selection_matrices": "measurements",
     "charge_density": "measurements", "spin_density": "measurements",
     "pairing": "measurements",
     "fourier_transform": "measurements.postprocessing",

@@ -10,4 +10,5 @@ from .dqmc_measurements import (
     pairing_correlation, pairing_susceptibility,
     current_current_susceptibility,
 )
+from .custom import custom_measurement, selection_matrices
 from . import postprocessing
