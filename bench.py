@@ -60,15 +60,18 @@ USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 VALIDATE = os.environ.get("BENCH_VALIDATE", "1") == "1"
 
 
-def bench_dqmc(safe_mult=SAFE_MULT):
+def bench_dqmc(safe_mult=SAFE_MULT, g_refresh=False, dtype=None,
+               sweeps=SWEEPS):
     from montecarlo_tpu import HubbardModelAttractive
     from montecarlo_tpu.dqmc import core
     from montecarlo_tpu.dqmc.parameters import DQMCParameters
 
     model = HubbardModelAttractive(dims=2, L=L, U=4.0, mu=0.0)
     params = DQMCParameters(beta=BETA, safe_mult=safe_mult)
-    ctx, consts = core.make_context(model, params, dtype=jnp.dtype(DTYPE),
-                                    use_pallas=USE_PALLAS)
+    ctx, consts = core.make_context(model, params,
+                                    dtype=jnp.dtype(dtype or DTYPE),
+                                    use_pallas=USE_PALLAS,
+                                    g_refresh=g_refresh)
     key = jax.random.PRNGKey(0)
     conf = model.rand_conf(key, N_CHAINS, params.slices)
     keys = jax.random.split(key, N_CHAINS)
@@ -86,15 +89,15 @@ def bench_dqmc(safe_mult=SAFE_MULT):
     # in flight, which once produced a nonsense 3e6 sweeps/s reading
     float(jnp.sum(jnp.real(state["G"])))
     t0 = time.time()
-    for _ in range(SWEEPS):
+    for _ in range(sweeps):
         state, _, _ = sweep(state)
     float(jnp.sum(jnp.real(state["G"])))
     dt = time.time() - t0
     # plausibility floor: even a perfect chip cannot finish one batched
     # sweep (2*M*N site updates x N_CHAINS chains) in under ~10 us; a
     # sub-floor reading means async dispatch was not actually flushed
-    assert dt > 10e-6 * SWEEPS, (
-        f"bench timing implausible ({dt:.6f}s for {SWEEPS} sweeps) — "
+    assert dt > 10e-6 * sweeps, (
+        f"bench timing implausible ({dt:.6f}s for {sweeps} sweeps) — "
         "async dispatch was not flushed")
     drift = {
         "max": float(jnp.max(state["prop_err_max"])),
@@ -106,7 +109,7 @@ def bench_dqmc(safe_mult=SAFE_MULT):
         "n_windows": int(jnp.sum(state["prop_err_n"])),
     }
     acc = float(jnp.sum(state["acc"])) / float(jnp.sum(state["prop"]))
-    return N_CHAINS * SWEEPS / dt, dt / SWEEPS, drift, acc
+    return N_CHAINS * sweeps / dt, dt / sweeps, drift, acc
 
 
 def bench_ising():
@@ -164,6 +167,33 @@ def main():
             sm1_sweeps_per_s, _, _, _ = bench_dqmc(safe_mult=1)
         except Exception:  # pragma: no cover
             sm1_sweeps_per_s = None
+    # g_refresh conservative mode (VERDICT r2 task 2): per-slice exact G
+    # recomputation from deferred factor windows — wrap-free propagation at
+    # ~1.4x the sm=1 anchor's speed. Validated by its own cross-sm gate below.
+    refresh_mode = None
+    REFRESH_SM = int(os.environ.get("BENCH_REFRESH_SM", "5"))
+    if os.environ.get("BENCH_REFRESH", "1") == "1":
+        try:
+            r_sps, _, r_drift, _ = bench_dqmc(safe_mult=REFRESH_SM,
+                                              g_refresh=True)
+            refresh_mode = {"kind": "g_refresh", "safe_mult": REFRESH_SM,
+                            "sweeps_per_s": round(r_sps, 3),
+                            "vs_baseline": round(
+                                r_sps / BASELINE_EST_SWEEPS_PER_S, 3),
+                            "propagation_drift": r_drift}
+        except Exception as err:  # pragma: no cover
+            refresh_mode = {"error": repr(err)}
+    # strict-f64 validation mode: measured every round so regressions are
+    # visible (VERDICT r2 task 8 — documented position: f64 on TPU is the
+    # validation-only mode, bounded by QR under double-float emulation)
+    f64_mode = None
+    if DTYPE != "float64" and os.environ.get("BENCH_F64", "1") == "1":
+        try:
+            f_sps, _, f_drift, _ = bench_dqmc(dtype="float64", sweeps=2)
+            f64_mode = {"sweeps_per_s": round(f_sps, 3),
+                        "drift_max": f_drift["max"]}
+        except Exception as err:  # pragma: no cover
+            f64_mode = {"error": repr(err)}
     try:
         ising_flips = bench_ising()
     except Exception:
@@ -191,6 +221,17 @@ def main():
         except Exception as err:  # pragma: no cover
             cross_sm = {"error": repr(err)}
             sanity = False
+        if refresh_mode is not None and "error" not in refresh_mode:
+            try:
+                rgate = cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
+                                       safe_mult=REFRESH_SM, g_refresh=True,
+                                       use_pallas=USE_PALLAS)
+                refresh_mode["cross_sm_validation"] = {
+                    k: rgate[k] for k in ("ok", "seeds", "z", "z_tol",
+                                          "candidate", "anchor")}
+                sanity = sanity and bool(rgate["ok"])
+            except Exception as err:  # pragma: no cover
+                refresh_mode["cross_sm_validation"] = {"error": repr(err)}
     print(json.dumps({
         "metric": f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
                   f"{N_CHAINS} chains)",
@@ -206,6 +247,11 @@ def main():
         # drift); target: >= 1000 sweeps/s = 50x the baseline estimate
         "sm1_sweeps_per_s": (None if sm1_sweeps_per_s is None
                              else round(sm1_sweeps_per_s, 3)),
+        # wrap-free per-slice-recompute conservative mode (g_refresh):
+        # >= 1000 sweeps/s with near-anchor drift
+        "conservative_mode": refresh_mode,
+        # strict-f64 (validation-only on TPU): pinned so regressions show
+        "f64_mode": f64_mode,
         "propagation_drift": drift,
         "acceptance": round(acc, 4),
         "sanity_ok": sanity,

@@ -38,7 +38,8 @@ import numpy as np
 from jax import lax
 
 from ..ops.linalg import (udt_dirty, udt_dirty_colscaled, udt_well_conditioned,
-                          scatter_columns, calculate_greens)
+                          scatter_columns, calculate_greens,
+                          calculate_greens_inv)
 from ..utils.host import real_dtype
 
 
@@ -85,6 +86,17 @@ class DQMCContext:
     # matmul (see checkerboard.assemble_dense_operator) — this flag only
     # switches which operator make_context bakes into `consts`.
     checkerboard: bool = False
+    # g_refresh: recompute the Green's function EXACTLY from the stack
+    # factorization at EVERY slice instead of wrapping it between boundaries
+    # (replaces the wrap_greens! path, reference stack.jl:491-500). Between
+    # boundaries the per-slice factors are carried as deferred windows: the
+    # U-inverse factors accumulate raw B^{-1}/B multiplications (non-unitary;
+    # D, T frozen) and the per-slice G comes from calculate_greens_inv — no
+    # per-slice QR on the stack side. Stack re-UDT cadence stays safe_mult.
+    # This combines safe_mult=1-grade Green's accuracy (no wrap drift
+    # amplification; per-slice error is FRESH, bounded by the <=safe_mult-
+    # slice deferral window) with ~sm=10-grade stabilization cost.
+    g_refresh: bool = False
 
     def matmul_precision(self):
         """Trace-time matmul precision context. TPU lowers float32 matmuls
@@ -94,7 +106,9 @@ class DQMCContext:
         for float64 (emulation is already exact at its precision) and on CPU.
         """
         f32 = jnp.dtype(jnp.float32)
-        if jnp.dtype(self.udtype) == f32 or jnp.dtype(self.dtype) == f32:
+        if (jnp.dtype(real_dtype(self.udtype)) == f32
+                or jnp.dtype(real_dtype(self.dtype)) == f32):
+            # complex64 matmuls decompose into float32 ones → same bf16 hazard
             return jax.default_matmul_precision("highest")
         return nullcontext()
 
@@ -134,7 +148,8 @@ class DQMCContext:
 def make_context(model, params, dtype=jnp.float64, update_dtype=None,
                  stab_method: str = "qr", use_pallas: bool = False,
                  delay: int = None, checkerboard: bool = False,
-                 check_propagation_error: bool = None) -> Tuple[DQMCContext, dict]:
+                 check_propagation_error: bool = None,
+                 g_refresh: bool = False) -> Tuple[DQMCContext, dict]:
     """Build the static context + hopping matrix exponentials for a model.
 
     Returns (ctx, consts) where consts holds device arrays:
@@ -245,6 +260,7 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
         det_power=2 // model.nflavors, use_boson=model.use_boson_weight,
         dtype=jnp.dtype(dtype), signs=tuple(model.flavor_signs),
         check_propagation_error=bool(cpe),
+        g_refresh=bool(g_refresh),
         update_dtype=None if update_dtype is None else jnp.dtype(update_dtype),
         # mixed mode: window-end drift ~cond(window)*eps_f32 is EXPECTED
         # (reset at each boundary); only count catastrophic excursions
@@ -299,6 +315,19 @@ def mult_B_dagger_left(ctx, consts, sigma_l, M):
     a no-op transpose for the real symmetric case)."""
     eV = eV_diag(ctx, sigma_l)
     return eV[:, :, None] * (consts["eT2"].T.conj() @ M)
+
+
+def mult_B_dagger_right(ctx, consts, sigma_l, M):
+    """M ← M B_l^† = (M · diag(eV)) · eT2^†."""
+    eV = eV_diag(ctx, sigma_l)
+    return (M * eV[:, None, :]) @ consts["eT2"].T.conj()
+
+
+def mult_B_invdag_right(ctx, consts, sigma_l, M):
+    """M ← M B_l^{-†} = (M · eT2inv^†) · diag(eV)^{-1}
+    (B^{-1} = diag(eV)^{-1}·eT2inv ⇒ B^{-†} = eT2inv^†·diag(eV)^{-1})."""
+    eVinv = eV_diag(ctx, sigma_l, -1.0)
+    return (M @ consts["eT2inv"].T.conj()) * eVinv[:, None, :]
 
 
 def wrap_up(ctx, consts, sigma_l, G):
@@ -704,6 +733,200 @@ def _scan_slices(ctx, consts, G, conf, key, ls, slice_list, direction):
     return G, conf, key, ls
 
 
+def _scan_slices_refresh(ctx, consts, conf, key, ls, slice_list, direction,
+                         lcar, rcar, G_prev, perr):
+    """g_refresh slice loop: G for EVERY slice is recomputed exactly from the
+    deferred-window factor carries via calculate_greens_inv — no wraps on the
+    propagation path.
+
+    lcar = (Ulinv, Dl, Tl): left product L(l) = B_{l-1}…B_0 with Ulinv the
+    explicitly-accumulated U-inverse (non-unitary between boundaries; D, T
+    frozen at their last-boundary values). rcar likewise for the right
+    product R(l) = B†_l…B†_{M-1}.
+
+    direction -1 (down): entering slice l the carries cover L(l+1)/R(l+1);
+      remove B_l from L (Linv·B_l), prepend B†_l(old σ) to R (Rinv·B^{-†}_l),
+      compute G(l), sweep the slice, then retro-correct R's slice-l Hirsch
+      factor to the updated σ — the correction B†_new·B†_old^{-1} is DIAGONAL
+      (= diag(eV_new·eV_old^{-1})), so Rinv is scaled by eV(σ_old-σ_new).
+    direction +1 (up): carries already cover L(l)/R(l); compute G(l), sweep,
+      then remove B†_l(old σ) from R (Rinv·B†_l) and add B_l(new σ) to L
+      (Linv·B^{-1}_l).
+
+    Drift monitoring (reference: wrapped-vs-recomputed propagation check,
+    stack.jl:530-550): at EVERY slice the recomputed G is compared against
+    the single-slice wrap of the previous slice's post-update G — exact in
+    exact arithmetic, so the difference is the marginal fp error of one more
+    deferral step + one wrap. G_prev threads across segment boundaries so the
+    check also spans them (slice-resolution coverage; cost = one wrap).
+    """
+    lUinv, lD, lT = lcar
+    rUinv, rD, rT = rcar
+
+    def body(carry, l):
+        conf, key, ls, lUinv, rUinv, G_prev, perr = carry
+        sigma_old = conf[:, l]
+        if direction < 0:
+            lUinv = mult_B_right(ctx, consts, sigma_old, lUinv)
+            rUinv = mult_B_invdag_right(ctx, consts, sigma_old, rUinv)
+        G = calculate_greens_inv(lUinv, lD, lT, rUinv, rD, rT,
+                                 ctx.greens_udt_fn).astype(ctx.udtype)
+        if ctx.check_propagation_error:
+            G_wrap = (wrap_down(ctx, consts, sigma_old, G_prev)
+                      if direction < 0 else G_prev)
+            perr = _track_prop_err(ctx, perr,
+                                   jnp.max(jnp.abs(G - G_wrap)))
+        key, sub = jax.random.split(key)
+        u = jax.random.uniform(sub, (ctx.N,), ctx.urdtype)
+        G, sigma, ls = sweep_slice(ctx, G, sigma_old, u, ls)
+        conf = conf.at[:, l].set(sigma)
+        if direction < 0:
+            corr = eV_diag(ctx, sigma_old - sigma)       # diag(C^{-1})
+            rUinv = rUinv * corr[:, None, :]
+            G_next = G
+        else:
+            rUinv = mult_B_dagger_right(ctx, consts, sigma_old, rUinv)
+            lUinv = mult_B_inv_right(ctx, consts, sigma, lUinv)
+            G_next = (wrap_up(ctx, consts, sigma, G)
+                      if ctx.check_propagation_error else G)
+        return (conf, key, ls, lUinv, rUinv, G_next, perr), None
+
+    (conf, key, ls, lUinv, rUinv, G_prev, perr), _ = lax.scan(
+        body, (conf, key, ls, lUinv, rUinv, G_prev, perr), slice_list)
+    return conf, key, ls, (lUinv, lD, lT), (rUinv, rD, rT), G_prev, perr
+
+
+def sweep_pair_refresh(ctx, consts, state):
+    """g_refresh variant of sweep_pair: identical stack bookkeeping and
+    measurement snapshot semantics, but G is recomputed from the deferred
+    factor carries at every slice (no wrap_greens)."""
+    _prec = ctx.matmul_precision()
+    _prec.__enter__()
+    conf = state["conf"]
+    key = state["key"]
+    S_U, S_D, S_T = state["S_U"], state["S_D"], state["S_T"]
+    conf_meas = conf
+    ls = ls_from_state(ctx, state)
+    n_seg, sm = ctx.n_seg, ctx.sm
+    perr = (state["prop_err_max"], state["prop_err_count"],
+            state["prop_err_sum"], state["prop_err_n"],
+            state["prop_err_hist"])
+    iU, iD, iT = _identity_udt(ctx)
+
+    # ------------------------------------------------------------ down sweep
+    # Deferred carries are (re)seeded from the clean stack at the turnaround;
+    # G_prev seeds from the state's G_eff(M), so the first per-slice wrap
+    # check spans the turnaround window exactly like the wrap mode's.
+    lcar0 = (_adj_local(S_U[n_seg]), S_D[n_seg], S_T[n_seg])
+    rcar0 = (iU, iD, iT)
+    G_prev0 = state["G"]
+
+    def down_body(carry, j):
+        (S_U, S_D, S_T, conf, key, rU, rD, rT, lcar, rcar, G_prev, ls,
+         perr) = carry
+        lU, lD, lT = S_U[j + 1], S_D[j + 1], S_T[j + 1]
+        first = j == n_seg - 1
+
+        def ext(args):
+            rU, rD, rT = args
+            return extend_right(ctx, consts, conf, j + 1, rU, rD, rT)
+
+        rU, rD, rT = lax.cond(first, lambda a: a, ext, (rU, rD, rT))
+        S_U = S_U.at[j + 1].set(rU)
+        S_D = S_D.at[j + 1].set(rD)
+        S_T = S_T.at[j + 1].set(rT)
+        lcar = (_adj_local(lU), lD, lT)
+        rcar = (_adj_local(rU), rD, rT)
+        slices = jnp.arange(sm - 1, -1, -1) + j * sm       # descending
+        conf, key, ls, lcar, rcar, G_prev, perr = _scan_slices_refresh(
+            ctx, consts, conf, key, ls, slices, -1, lcar, rcar, G_prev, perr)
+        return (S_U, S_D, S_T, conf, key, rU, rD, rT, lcar, rcar, G_prev, ls,
+                perr), None
+
+    carry = (S_U, S_D, S_T, conf, key, iU, iD, iT, lcar0, rcar0, G_prev0, ls,
+             perr)
+    carry, _ = lax.scan(down_body, carry, jnp.arange(n_seg - 1, -1, -1))
+    (S_U, S_D, S_T, conf, key, rU, rD, rT, lcar, rcar, G_prev, ls,
+     perr) = carry
+    rU, rD, rT = extend_right(ctx, consts, conf, 0, rU, rD, rT)
+    S_U = S_U.at[0].set(rU)
+    S_D = S_D.at[0].set(rD)
+    S_T = S_T.at[0].set(rT)
+
+    # -------------------------------------------------------------- up sweep
+    # peeled slice 0 (measurement snapshot point, DQMC.jl:425-436)
+    lU, lD, lT = iU, iD, iT
+    rU, rD, rT = S_U[0], S_D[0], S_T[0]
+    G = calculate_greens(lU, lD, lT, rU, rD, rT,
+                         ctx.greens_udt_fn).astype(ctx.udtype)  # G_eff(0)
+    if ctx.check_propagation_error:
+        # down sweep ended having swept slice 0: its post-update G IS G(0)
+        # (no wrap separates them) — direct turnover consistency check
+        perr = _track_prop_err(ctx, perr, jnp.max(jnp.abs(G - G_prev)))
+    S_U = S_U.at[0].set(lU)
+    S_D = S_D.at[0].set(lD)
+    S_T = S_T.at[0].set(lT)
+    key, sub = jax.random.split(key)
+    u = jax.random.uniform(sub, (ctx.N,), ctx.urdtype)
+    sigma_old = conf[:, 0]
+    G, sigma, ls = sweep_slice(ctx, G, sigma_old, u, ls)
+    conf = conf.at[:, 0].set(sigma)
+    G_meas = G
+    conf_meas = conf
+    phase_meas = ls.get("phase")
+    lcar = (mult_B_inv_right(ctx, consts, sigma, iU), iD, iT)
+    rcar = (mult_B_dagger_right(ctx, consts, sigma_old, _adj_local(rU)),
+            rD, rT)
+    G_prev = (wrap_up(ctx, consts, sigma, G)
+              if ctx.check_propagation_error else G)
+    conf, key, ls, lcar, rcar, G_prev, perr = _scan_slices_refresh(
+        ctx, consts, conf, key, ls, jnp.arange(1, sm), +1, lcar, rcar,
+        G_prev, perr)
+    lU, lD, lT = extend_left(ctx, consts, conf, 0, iU, iD, iT)
+
+    def up_body(carry, j):
+        (S_U, S_D, S_T, conf, key, lU, lD, lT, lcar, rcar, G_prev, ls,
+         perr) = carry
+        rU, rD, rT = S_U[j], S_D[j], S_T[j]
+        S_U = S_U.at[j].set(lU)
+        S_D = S_D.at[j].set(lD)
+        S_T = S_T.at[j].set(lT)
+        lcar = (_adj_local(lU), lD, lT)
+        rcar = (_adj_local(rU), rD, rT)
+        slices = jnp.arange(sm) + j * sm
+        conf, key, ls, lcar, rcar, G_prev, perr = _scan_slices_refresh(
+            ctx, consts, conf, key, ls, slices, +1, lcar, rcar, G_prev, perr)
+        lU, lD, lT = extend_left(ctx, consts, conf, j, lU, lD, lT)
+        return (S_U, S_D, S_T, conf, key, lU, lD, lT, lcar, rcar, G_prev, ls,
+                perr), None
+
+    if n_seg > 1:
+        carry = (S_U, S_D, S_T, conf, key, lU, lD, lT, lcar, rcar, G_prev, ls,
+                 perr)
+        carry, _ = lax.scan(up_body, carry, jnp.arange(1, n_seg))
+        (S_U, S_D, S_T, conf, key, lU, lD, lT, lcar, rcar, G_prev, ls,
+         perr) = carry
+    S_U = S_U.at[n_seg].set(lU)
+    S_D = S_D.at[n_seg].set(lD)
+    S_T = S_T.at[n_seg].set(lT)
+    # final G for state: the clean turnaround Green's function G_eff(M)
+    # (doubles as the next sweep's G_prev seed across the turnaround)
+    G_final = calculate_greens(lU, lD, lT, iU, iD, iT,
+                               ctx.greens_udt_fn).astype(ctx.udtype)
+
+    pem, pec, pes, pen, phist = perr
+    state = dict(state)
+    state.update(conf=conf, key=key, S_U=S_U, S_D=S_D, S_T=S_T, G=G_final,
+                 prop_err_max=pem, prop_err_count=pec,
+                 prop_err_sum=pes, prop_err_n=pen, prop_err_hist=phist,
+                 prop=state["prop"] + 2 * ctx.M * ctx.N)
+    state.update({_ls_key(k): v for k, v in ls.items()})
+    if phase_meas is not None:
+        state["phase_meas"] = phase_meas
+    _prec.__exit__(None, None, None)
+    return state, G_meas, conf_meas
+
+
 def sweep_pair(ctx, consts, state):
     """One full [down sweep; up sweep] pass over imaginary time, updating every
     site of every slice twice. Returns (state, G_meas, conf_meas) where G_meas
@@ -711,6 +934,8 @@ def sweep_pair(ctx, consts, state):
     reference's measurement point (current_slice==1, direction==+1, after the
     slice-0 site updates — DQMC.jl:425-436); time-displaced measurements must
     use conf_meas, not the end-of-sweep conf."""
+    if ctx.g_refresh:
+        return sweep_pair_refresh(ctx, consts, state)
     _prec = ctx.matmul_precision()
     _prec.__enter__()
     conf = state["conf"]
@@ -873,6 +1098,8 @@ def greens_from_scratch(ctx, consts, conf, slice_idx: int):
     """G_eff(slice_idx) recomputed from the configuration alone
     (reference: calculate_greens(mc, slice), stack.jl:422-480). slice_idx is a
     static python int in [0, M]."""
+    _prec = ctx.matmul_precision()
+    _prec.__enter__()
     U, D, T = _identity_udt(ctx)
     lU, lD, lT = U, D, T
     curr = U
@@ -896,4 +1123,6 @@ def greens_from_scratch(ctx, consts, conf, slice_idx: int):
             rT = scatter_columns(r, piv) @ rT
             rU, rD = u, d
             curr = rU
-    return calculate_greens(lU, lD, lT, rU, rD, rT, ctx.greens_udt_fn)
+    G = calculate_greens(lU, lD, lT, rU, rD, rT, ctx.greens_udt_fn)
+    _prec.__exit__(None, None, None)
+    return G

@@ -95,7 +95,7 @@ class DQMC:
     def __init__(self, model, n_chains: int = 16, seed: int = 0,
                  dtype=jnp.float64, update_dtype=None, use_pallas: bool = False,
                  stab_method: str = "qr", delay: int = None,
-                 checkerboard: bool = False,
+                 checkerboard: bool = False, g_refresh: bool = False,
                  measurements: str | Dict = "default",
                  thermalization_measurements: Optional[Dict] = None,
                  recorder=None, recording_rate: int = None,
@@ -114,7 +114,8 @@ class DQMC:
                                                   use_pallas=use_pallas,
                                                   stab_method=stab_method,
                                                   delay=delay,
-                                                  checkerboard=checkerboard)
+                                                  checkerboard=checkerboard,
+                                                  g_refresh=g_refresh)
 
         root = jax.random.PRNGKey(seed)
         init_key, sweep_key = jax.random.split(root)
@@ -228,6 +229,14 @@ class DQMC:
         sessions (None otherwise) — consumed by sign_measurement.
         """
         ctx, consts = self.ctx, self.consts
+        # Full-precision matmuls for the whole measurement pass: sweep_pair
+        # scopes its own context, so without this the unequal-time iterators
+        # and measurement contractions traced here would run at the TPU's
+        # default single-pass bf16 MXU precision — catastrophic for the
+        # graded-factor UDT algebra at large beta (measured: PS per-chain
+        # values reaching ~4e6 at beta=10/f32 before this guard).
+        _prec = ctx.matmul_precision()
+        _prec.__enter__()
         vunwrap = jax.vmap(partial(core.unwrap_greens, ctx, consts))
         equal = [(k, m) for k, m in meas_items if m.kind == "equal"]
         gat = [(k, m) for k, m in meas_items if m.kind == "greens_at"]
@@ -296,6 +305,7 @@ class DQMC:
                                        G_meas.astype(self.ctx.dtype), G_phys)
             for k, m in comb:
                 new[k] = m.push(bstates[k], accs[k])
+        _prec.__exit__(None, None, None)
         return new
 
     def _get_block(self, measure, stage):
@@ -504,6 +514,7 @@ class DQMC:
                 "use_pallas": bool(self.ctx.use_pallas),
                 "delay": int(self.ctx.delay),
                 "checkerboard": bool(self.ctx.checkerboard),
+                "g_refresh": bool(self.ctx.g_refresh),
             },
             "n_chains": self.n_chains,
             "last_sweep": self.last_sweep,

@@ -35,7 +35,7 @@ recalculation reading the precomputed stacks, and both have an
 
 from __future__ import annotations
 
-from functools import partial
+from functools import partial, wraps
 from typing import Callable, Tuple
 
 import jax
@@ -44,6 +44,22 @@ from jax import lax
 
 from ..ops.linalg import udt_dirty, scatter_columns, rdiv_dirty, calculate_greens
 from . import core
+
+
+def _full_precision(fn):
+    """Scope ctx.matmul_precision() around an entry point taking ctx first.
+
+    Every matmul in the unequal-time algebra MUST run at full precision: the
+    TPU's default single-pass bf16 MXU lowering destroys the graded UDT
+    factors at large beta (measured: tau-displaced susceptibility values
+    reaching ~4e6 at beta=10/f32 when these functions were traced outside a
+    precision scope). DQMC._measure_all also scopes itself; this guard makes
+    direct/standalone use (tests, verify utilities, user code) safe too."""
+    @wraps(fn)
+    def wrapper(ctx, *args, **kwargs):
+        with ctx.matmul_precision():
+            return fn(ctx, *args, **kwargs)
+    return wrapper
 
 
 def _adj(A):
@@ -170,6 +186,7 @@ def full2_algebra(inv_udt, fwd_udt, bwd_udt):
     return -(Tl2 @ (X @ T))
 
 
+@_full_precision
 def greens_kl(ctx, consts, conf, k: int, l: int):
     """Effective time-displaced G(k ← l) for static gridpoints 0 ≤ k, l ≤ M
     (reference: calculate_greens(mc, k, l), unequal_time_stack.jl:292-304).
@@ -203,6 +220,7 @@ def _segment_product(ctx, consts, conf, j, mult_fn, rev: bool):
     return curr
 
 
+@_full_precision
 def build_ut_stacks(ctx, consts, conf):
     """All three UDT stacks as (n_el, F, ...) arrays, j = 0..n_seg:
 
@@ -293,6 +311,7 @@ def _udt_full(A):
     return u, d, scatter_columns(r, piv)
 
 
+@_full_precision
 def combined_greens_apply(ctx, consts, conf, G00_eff, acc0, step_fn: Callable,
                           recalculate: int = None, stacks=None):
     """Iterate (G(0,l), G(l,0), G(l,l)) for l = 1..M, calling
@@ -485,6 +504,7 @@ def verify_combined(ctx, consts, conf, G00_eff, maxerror=1e-6,
 # General GreensIterator (reference: unequal_time_stack.jl:644-726)
 # ---------------------------------------------------------------------------
 
+@_full_precision
 def greens_range_apply(ctx, consts, conf, l: int, acc0, step_fn: Callable,
                        recalculate: int = None, stacks=None):
     """All G(k, l) for k = l..M at fixed static l, calling

@@ -115,6 +115,7 @@ def load(filename: str):
             kwargs["use_pallas"] = bool(num.get("use_pallas", False))
             kwargs["delay"] = int(num.get("delay", 0))
             kwargs["checkerboard"] = bool(num.get("checkerboard", False))
+            kwargs["g_refresh"] = bool(num.get("g_refresh", False))
         mc = DQMC(model, n_chains=state["n_chains"], **kwargs,
                   **{k: v for k, v in state["parameters"].items()})
     else:

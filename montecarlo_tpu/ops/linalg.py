@@ -165,17 +165,17 @@ def scatter_columns(R, piv):
     return jnp.take_along_axis(R, ipiv[..., None, :], axis=-1)
 
 
-# Explicit-inverse path for the dirty-R triangular solves. None = auto (on for
-# 32-bit dtypes on the TPU backend, where XLA's substitution-based
-# triangular_solve costs ~0.21 ms per (256,64,64) call inside a scan vs
-# ~0.06 ms for the matmul-only blocked inverse); True/False force.
-TRI_INV = None
+# Explicit-inverse path for the dirty-R triangular solves. Default OFF:
+# although the blocked inverse wins in isolation, inside the full sweep
+# XLA's substitution-based triangular_solve measured FASTER end-to-end
+# (1138 vs 1058 chain-sweeps/s, g_refresh sm=5 on v5e) — the solve overlaps
+# with surrounding work while the inverse's many small einsums serialize.
+# True forces the matmul-only inverse (kept for experimentation).
+TRI_INV = False
 
 
 def _tri_inv_enabled(dtype):
-    if TRI_INV is not None:
-        return TRI_INV
-    if jax.default_backend() in ("cpu", "gpu"):
+    if TRI_INV is None or TRI_INV is False:
         return False
     return jnp.dtype(dtype) in (jnp.float32, jnp.complex64)
 
@@ -279,6 +279,65 @@ def calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr, udt_fn=None):
     Z = Z / d[..., None, :]
     W = _adj(u) / Dlp[..., None, :]   # u† · diag(1/Dlp)
     return Z @ (W @ _adj(Ul))
+
+
+def udt_dirty_bounded(A):
+    """udt_dirty minus the power-of-two prescale, for inputs where BOTH range
+    guards are provably unnecessary: max entry « 1e15 (no norm-squared
+    overflow) AND min relevant scale » 1e-38 (no subnormal flush). NOTE the
+    calculate_greens bracket M does NOT qualify at large beta in float32: its
+    graded columns reach ~e^{-2*beta*W} (~1e-35 at beta=10), which only
+    survive the QR because the prescale lifts them by ~2^45. Kept for
+    low-beta / f64 fast paths; default paths use the full udt_dirty."""
+    norms = jnp.linalg.norm(A, axis=-2)
+    piv, _ = argsort_desc(norms)
+    Ap = jnp.take_along_axis(A, piv[..., None, :], axis=-1)
+    Q, R = _qr(Ap)
+    d = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
+    if d.dtype == jnp.float32 or jax.default_backend() not in ("cpu", "gpu"):
+        floor = 2.0 ** -70
+    else:
+        floor = jnp.finfo(d.dtype).tiny
+    d = jnp.maximum(d, floor)
+    Rs = R / d[..., :, None]
+    n = Rs.shape[-1]
+    diag_vals = jnp.diagonal(Rs, axis1=-2, axis2=-1)
+    fixed = jnp.where(jnp.abs(diag_vals) < 0.5,
+                      jnp.ones_like(diag_vals), diag_vals)
+    Rs = Rs + (fixed - diag_vals)[..., :, None] * jnp.eye(n, dtype=Rs.dtype)
+    return Q, d, Rs, piv
+
+
+def calculate_greens_inv(Ulinv, Dl, Tl, Urinv, Dr, Tr, udt_fn=None):
+    """G = [I + Ul·diag(Dl)·Tl · Tr†·diag(Dr)·Ur†]^{-1} expressed through the
+    EXPLICIT inverses Ulinv = Ul^{-1}, Urinv = Ur^{-1}.
+
+    Same Dmax/Dmin-split algebra as calculate_greens, which implicitly uses
+    Ul^{-1} = Ul† for unitary factors — here the inverses are inputs, so Ul/Ur
+    may be any bounded invertible factors. This is the enabler of the
+    g_refresh deferred-window mode (dqmc/core.py): between stack boundaries
+    the U factors accumulate raw B multiplications (non-unitary) while their
+    inverses are accumulated alongside with B^{-1} multiplications; the
+    per-slice Green's recomputation then needs no per-slice QR on the stack
+    side. For unitary factors calculate_greens(Ul,...) ==
+    calculate_greens_inv(Ul†,...) exactly.
+
+        G = Ur^{-†}·Drp^{-1}·M^{-1}·Dlp^{-1}·Ul^{-1},
+        M = Dlp^{-1}·(Ul^{-1}·Ur^{-†})·Drp^{-1} + Dlm·(Tl·Tr†)·Drm.
+    """
+    Dlp = jnp.maximum(Dl, 1.0)
+    Dlm = jnp.minimum(Dl, 1.0)
+    Drp = jnp.maximum(Dr, 1.0)
+    Drm = jnp.minimum(Dr, 1.0)
+    Urdaginv = _adj(Urinv)                       # Ur^{-†}
+    X = Tl @ _adj(Tr)
+    M = (Ulinv @ Urdaginv) / Dlp[..., :, None] / Drp[..., None, :]
+    M = M + (Dlm[..., :, None] * X) * Drm[..., None, :]
+    u, d, r, piv = (udt_fn or udt_dirty)(M)
+    Z = rdiv_dirty(Urdaginv / Drp[..., None, :], r, piv)
+    Z = Z / d[..., None, :]
+    W = _adj(u) / Dlp[..., None, :]
+    return Z @ (W @ Ulinv)
 
 
 def udt_well_conditioned(W, D):

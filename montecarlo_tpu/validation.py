@@ -67,6 +67,7 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                    thermalization: int = 100,
                    seeds: Sequence[int] = (123, 321),
                    alpha: float = 0.01, use_pallas: bool = False,
+                   g_refresh: bool = False,
                    observables: Sequence[str] = DEFAULT_OBSERVABLES) -> Dict:
     """Matched-seed comparison of the candidate (dtype, safe_mult) mode
     against the drift-proof anchor (same dtype, safe_mult=anchor_sm), pooled
@@ -93,8 +94,9 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                   print_rate=10 ** 9, dtype=jnp.dtype(dtype),
                   use_pallas=use_pallas)
 
-    def pooled(sm):
-        runs = [_run_one(mk, dict(common, safe_mult=sm, seed=s),
+    def pooled(sm, refresh=False):
+        runs = [_run_one(mk, dict(common, safe_mult=sm, seed=s,
+                                  g_refresh=refresh),
                          observables=observables) for s in seeds]
         out = {}
         for key in runs[0]:
@@ -104,7 +106,7 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                 out[key] = np.concatenate([r[key] for r in runs], axis=0)
         return out
 
-    cand = pooled(safe_mult)
+    cand = pooled(safe_mult, refresh=g_refresh)
     anch = pooled(anchor_sm)
     zs, tols = {}, {}
     ok = True
@@ -126,7 +128,8 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
         "seeds": list(seeds),
         "z": zs,
         "z_tol": tols,
-        "candidate": {"safe_mult": safe_mult, "acc": cand["_acc"],
+        "candidate": {"safe_mult": safe_mult, "g_refresh": bool(g_refresh),
+                      "acc": cand["_acc"],
                       "perr_mean": cand["_perr_mean"],
                       "perr_hist": cand["_perr_hist"]},
         "anchor": {"safe_mult": anchor_sm, "acc": anch["_acc"],
