@@ -40,9 +40,12 @@ def test_pallas_matches_xla_sweep(model_cls):
     assert np.array_equal(np.asarray(acc), np.asarray(lsr["acc"]))
 
 
+@pytest.mark.slow
 def test_pallas_dqmc_end_to_end():
     """Full DQMC run with use_pallas must match the plain f32 run exactly in
-    distribution (same RNG stream -> same trajectories up to f32 op order)."""
+    distribution (same RNG stream -> same trajectories up to f32 op order).
+    slow: ~2 min under the CPU pallas interpreter; the per-slice equivalence
+    (test_pallas_matches_xla_sweep) stays in the fast tier."""
     def run(use_pallas):
         model = HubbardModelAttractive(dims=2, L=2, U=2.0, mu=0.0)
         mc = DQMC(model, beta=1.0, n_chains=4, seed=5, dtype=jnp.float32,

@@ -72,10 +72,15 @@ def test_qr_under_vmap_folds_batch():
                                np.asarray(Rd), atol=1e-6)
 
 
-@pytest.mark.parametrize("N", [72, 88])
+@pytest.mark.parametrize("N", [24,
+                                pytest.param(72, marks=pytest.mark.slow),
+                                pytest.param(88, marks=pytest.mark.slow)])
 def test_qr_blocked_n_not_multiple_of_16(N):
     """The blocked kernel's row-chunked apply must not index past the ref for
-    N % 16 != 0 (e.g. 72 sites = 6x6 honeycomb); CH falls back to 8."""
+    N % 16 != 0 (e.g. 72 sites = 6x6 honeycomb); CH falls back to 8. N=24
+    exercises the same ragged-tail indexing cheaply and stays in the fast
+    tier; the realistic sizes (72/88, minutes under the CPU interpreter) are
+    slow-marked."""
     key = jax.random.PRNGKey(11)
     A = jax.random.normal(key, (8, N, N), jnp.float32)
     Q, R = jax.jit(lambda A: pallas_qr._qr_batched(A, panel=8))(A)
@@ -116,7 +121,9 @@ def test_qr_large_batch_chunking():
     np.testing.assert_array_equal(np.asarray(Q[256:]), np.asarray(Q1))
 
 
-@pytest.mark.parametrize("panel", [4, 8, 16])
+@pytest.mark.parametrize("panel", [4,
+                                   pytest.param(8, marks=pytest.mark.slow),
+                                   pytest.param(16, marks=pytest.mark.slow)])
 def test_qr_blocked_panels(panel):
     """Blocked-WY panel kernel (one grid step = `panel` columns) must satisfy
     the same QR contract as the per-column kernel, on graded DQMC-like input."""
