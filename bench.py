@@ -29,8 +29,15 @@ small-matrix f64 work at ~12 GFLOP/s effective (LoopVectorization @avx on
 
 import json
 import os
+import sys
 import time
 from functools import partial
+
+
+def _progress(msg):
+    """Phase progress on stderr (stdout stays the single JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 import jax
 
@@ -157,6 +164,7 @@ def bench_susceptibility():
 
 
 def main():
+    _progress("headline dqmc")
     sweeps_per_s, s_per_sweep, drift, acc = bench_dqmc()
     # drift-proof conservative mode (f32 + safe_mult=1): the anchor whose
     # window-end drift matches reference-grade stabilization; reported every
@@ -164,6 +172,7 @@ def main():
     sm1_sweeps_per_s = None
     if SAFE_MULT != 1 and os.environ.get("BENCH_SM1", "1") == "1":
         try:
+            _progress("sm=1 anchor mode")
             sm1_sweeps_per_s, _, _, _ = bench_dqmc(safe_mult=1)
         except Exception:  # pragma: no cover
             sm1_sweeps_per_s = None
@@ -174,6 +183,7 @@ def main():
     REFRESH_SM = int(os.environ.get("BENCH_REFRESH_SM", "5"))
     if os.environ.get("BENCH_REFRESH", "1") == "1":
         try:
+            _progress("g_refresh conservative mode")
             r_sps, _, r_drift, _ = bench_dqmc(safe_mult=REFRESH_SM,
                                               g_refresh=True)
             refresh_mode = {"kind": "g_refresh", "safe_mult": REFRESH_SM,
@@ -189,12 +199,14 @@ def main():
     f64_mode = None
     if DTYPE != "float64" and os.environ.get("BENCH_F64", "1") == "1":
         try:
+            _progress("strict-f64 mode")
             f_sps, _, f_drift, _ = bench_dqmc(dtype="float64", sweeps=2)
             f64_mode = {"sweeps_per_s": round(f_sps, 3),
                         "drift_max": f_drift["max"]}
         except Exception as err:  # pragma: no cover
             f64_mode = {"error": repr(err)}
     try:
+        _progress("ising")
         ising_flips = bench_ising()
     except Exception:
         ising_flips = None
@@ -203,6 +215,7 @@ def main():
     susc_s = None
     if os.environ.get("BENCH_SUSC", "1") == "1":
         try:
+            _progress("susceptibility set")
             susc_s = round(bench_susceptibility(), 4)
         except Exception:  # pragma: no cover
             susc_s = None
@@ -214,6 +227,7 @@ def main():
     elif VALIDATE:
         from montecarlo_tpu.validation import cross_sm_check
         try:
+            _progress("cross-sm gate (headline mode)")
             cross_sm = cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
                                       safe_mult=SAFE_MULT,
                                       use_pallas=USE_PALLAS)
@@ -223,6 +237,7 @@ def main():
             sanity = False
         if refresh_mode is not None and "error" not in refresh_mode:
             try:
+                _progress("cross-sm gate (g_refresh mode)")
                 rgate = cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
                                        safe_mult=REFRESH_SM, g_refresh=True,
                                        use_pallas=USE_PALLAS)

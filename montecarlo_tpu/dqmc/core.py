@@ -244,12 +244,17 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     k = max(0, int(delay))
     while k > 1 and N_sites % k:
         k -= 1
-    # the fused site-sweep kernel keeps G AND its transpose resident in VMEM
-    # across the site loop; beyond N=128 the blocks exceed the 16 MB scoped
-    # limit and Mosaic refuses — fall back to the XLA site loop (where the
-    # delayed rank-k path starts winning anyway, measured at L=16: delay=32
-    # beats rank-1 by ~8%)
-    pallas_ok = udt32 and N_sites <= 128
+    # the chain-on-lanes fused site-sweep kernel keeps G AND its transpose
+    # resident in VMEM with a 128-wide chain block; beyond N=128 that exceeds
+    # the 16 MB scoped limit, and the site-major kernel variant (chains on
+    # sublanes, CB=8-32) takes over up to the N where even a CB=8 block no
+    # longer fits (F=1: N<=~320; F=2: N<=~220) — past that, the XLA site loop
+    # with delayed rank-k updates is the fallback
+    if N_sites <= 128:
+        pallas_ok = udt32
+    else:
+        from ..ops.pallas_site_sweep import sitemajor_supported
+        pallas_ok = udt32 and sitemajor_supported(N_sites, model.nflavors)
     ctx = DQMCContext(
         stab_method=stab_method,
         use_pallas=bool(use_pallas) and pallas_ok,

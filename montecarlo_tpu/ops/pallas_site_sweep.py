@@ -220,10 +220,161 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB,
 from .pallas_util import pick_lane_block as _pick_chain_block
 
 
+# ---------------------------------------------------------------------------
+# Site-major kernel: sites ride the lanes, chains ride the sublanes
+# ---------------------------------------------------------------------------
+#
+# The chain-on-lanes kernel above keeps G AND Gt fully resident with the
+# chain block on the 128-wide lane dimension, so its VMEM footprint is
+# 4*F*N^2*128*4 bytes — past N=128 that exceeds the ~16 MB scoped budget and
+# make_context used to fall back to the XLA site loop, which is per-op-
+# latency-bound at N=256 (measured 46-50 chain-sweeps/s at L=16). This
+# variant tiles the CHAIN axis instead: layout (F, N, CB, N) = [flavor, row,
+# chain-sublane, col] with a small chain block CB (8-32) on the SUBLANE
+# dimension and the full site axis on the lanes, so VMEM scales as
+# 4*F*N^2*CB*4 and N=256 fits at CB=8 (~8.4 MB). Rows G[i,:] and columns
+# (via the transpose copy Gt) remain dynamic-outer-dim slices; per-chain
+# scalars live in lane space as (1,1,CB) vectors and cross into the sublane
+# space of the update via two tiny swapaxes per flavor. Grid = (C/CB, N);
+# the site loop still persists state in VMEM across grid steps.
+
+
+def _sitemajor_kernel(lamb, signs, det_power, use_boson, N, F, CB,
+                      u_ref, s_in, G_in, Gt_in,
+                      sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref):
+    """One grid step = one site i for one chain block (grid = (C/CB, N)).
+    sigma/u/acc/nneg: (1, N, CB) [chain block on lanes]; G_ref (F,N,CB,N)
+    [chains on sublanes]; Gt_ref = swap(row, col) of G. State is copied into
+    the output refs at site 0 (no input aliasing — see _batched_kernel)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        sigma_ref[...] = s_in[...]
+        G_ref[...] = G_in[...]
+        Gt_ref[...] = Gt_in[...]
+
+    s = sigma_ref[0, pl.ds(i, 1)][None]                       # (1,1,CB) lane
+    u_i = u_ref[0, pl.ds(i, 1)][None]                         # (1,1,CB) lane
+    dEb = jnp.float32(-2.0 * lamb) * s
+
+    onehot = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (1, 1, N), 2) == i,
+        jnp.float32(1.0), jnp.float32(0.0))                   # (1,1,N)
+
+    rows, colTs, deltas, rs = [], [], [], []
+    rprod = None
+    for f, sg in enumerate(signs):
+        row = G_ref[f, pl.ds(i, 1)]                           # (1,CB,N)
+        colT = Gt_ref[f, pl.ds(i, 1)]                         # (1,CB,N)
+        gii_sub = jnp.sum(row * onehot, axis=2, keepdims=True)  # (1,CB,1)
+        gii = jnp.swapaxes(gii_sub, 1, 2)                     # (1,1,CB) lane
+        delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0          # (1,1,CB)
+        r = 1.0 + delta * (1.0 - gii)
+        rows.append(row); colTs.append(colT)
+        deltas.append(delta); rs.append(r)
+        rprod = r if rprod is None else rprod * r
+    detratio = rprod ** det_power                             # (1,1,CB)
+    w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+    accept = u_i < w * detratio                               # (1,1,CB)
+
+    for f in range(F):
+        x = jnp.where(accept, deltas[f] / rs[f],
+                      jnp.zeros_like(rs[f]))                  # (1,1,CB)
+        x_sub = jnp.swapaxes(x, 1, 2)                         # (1,CB,1)
+        IG = onehot - colTs[f]                                # (1,CB,N)
+        xIG = x_sub * IG                                      # (1,CB,N)
+        xIGo = jnp.swapaxes(xIG, 0, 2)                        # (N,CB,1)
+        rowb = rows[f]                                        # (1,CB,N)
+        G_ref[f] = G_ref[f] - xIGo * rowb
+        Gt_ref[f] = Gt_ref[f] - jnp.swapaxes(rowb, 0, 2) * xIG
+
+    flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+    sigma_ref[0, pl.ds(i, 1)] = (s * flip)[0]
+    one = jnp.ones_like(s[0])
+    zero = jnp.zeros_like(s[0])
+    acc_ref[0, pl.ds(i, 1)] = jnp.where(accept[0], one, zero)
+    nneg_ref[0, pl.ds(i, 1)] = jnp.where(detratio[0] < 0, one, zero)
+
+
+# scoped-VMEM budget for the four resident G blocks (in+out for G and Gt);
+# conservative vs the 16 MB v5e limit to leave room for the small buffers
+_SITEMAJOR_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _pick_sublane_block(C, N, F):
+    """Largest chain block CB (multiple of 8, dividing the padded batch) whose
+    four resident (F,N,CB,N) f32 blocks fit the scoped-VMEM budget; None if
+    even CB=8 does not fit."""
+    per_chain = 4 * F * N * N * 4  # bytes across G_in/Gt_in/G_out/Gt_out
+    for cb in (32, 16, 8):
+        if cb * per_chain <= _SITEMAJOR_VMEM_BUDGET:
+            return cb
+    return None
+
+
+def sitemajor_supported(N, F):
+    return _pick_sublane_block(8, N, F) is not None
+
+
+def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
+                          force_cb=None):
+    """Site-major fused sweep for N > 128. Same contract as
+    _site_sweep_batched; chains are padded to a multiple of the chain block."""
+    C, F, N, _ = G.shape
+    CB = force_cb or _pick_sublane_block(C, N, F)
+    pad = (-C) % CB
+    if pad:
+        # zero padding is algebra-safe: G=0 gives r = 1+delta (no NaN), and
+        # the padded chains' outputs are sliced off below
+        zpad = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        G, sigma, u = zpad(G), zpad(sigma), zpad(u)
+    Cp = C + pad
+    kern = functools.partial(_sitemajor_kernel, float(lamb), tuple(signs),
+                             int(det_power), bool(use_boson), N, F, CB)
+    interpret = jax.default_backend() == "cpu"
+    Gk = jnp.transpose(G, (1, 2, 0, 3))                       # (F,N,C,N)
+    Gtk = jnp.transpose(G, (1, 3, 0, 2))                      # [f,col,c,row]
+    # small per-chain vectors: (C/CB, N, CB) so the block's lane dim (CB)
+    # equals the full trailing array dim (legal for any CB)
+    to_blocks = lambda a: jnp.transpose(
+        a.reshape(Cp // CB, CB, N), (0, 2, 1))                # (NB,N,CB)
+    sig = to_blocks(sigma.astype(jnp.float32))
+    uk = to_blocks(u)
+    i32 = jnp.int32
+    bigspec = pl.BlockSpec((F, N, CB, N),
+                           lambda cb, i: (i32(0), i32(0), cb, i32(0)))
+    rowspec = pl.BlockSpec((1, N, CB), lambda cb, i: (cb, i32(0), i32(0)))
+    sig_out, G_out, _Gt, accv, nnegv = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=(Cp // CB, N),
+        in_specs=[rowspec, rowspec, bigspec, bigspec],
+        out_specs=[rowspec, bigspec, bigspec, rowspec, rowspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32),
+            jax.ShapeDtypeStruct((F, N, Cp, N), jnp.float32),
+            jax.ShapeDtypeStruct((F, N, Cp, N), jnp.float32),
+            jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32),
+            jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32),
+        ],
+    )(uk, sig, Gk, Gtk)
+    from_blocks = lambda a: jnp.transpose(a, (0, 2, 1)).reshape(Cp, N)[:C]
+    G_new = jnp.transpose(G_out, (2, 0, 1, 3))[:C]
+    sigma_new = from_blocks(sig_out).astype(sigma.dtype)
+    acc = jnp.sum(from_blocks(accv), axis=1).astype(jnp.int32)
+    nneg = jnp.sum(from_blocks(nnegv), axis=1).astype(jnp.int32)
+    return G_new, sigma_new, acc, nneg
+
+
 def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson):
     """Batched fused sweep. G: (C,F,N,N) f32, sigma: (C,N), u: (C,N).
-    Returns (G, sigma, acc (C,), nneg (C,))."""
+    Returns (G, sigma, acc (C,), nneg (C,)). Dispatches to the chain-on-lanes
+    kernel for N <= 128 and the site-major kernel beyond."""
     C, F, N, _ = G.shape
+    if N > 128:
+        return _site_sweep_sitemajor(G, sigma, u, lamb=lamb, signs=signs,
+                                     det_power=det_power, use_boson=use_boson)
     CB = _pick_chain_block(C)
     kern = functools.partial(_batched_kernel, float(lamb), tuple(signs),
                              int(det_power), bool(use_boson), N, F, CB)

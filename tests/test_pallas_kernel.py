@@ -40,6 +40,45 @@ def test_pallas_matches_xla_sweep(model_cls):
     assert np.array_equal(np.asarray(acc), np.asarray(lsr["acc"]))
 
 
+@pytest.mark.parametrize("model_cls", [HubbardModelAttractive,
+                                       HubbardModelRepulsive])
+def test_sitemajor_matches_xla_sweep(model_cls):
+    """The site-major kernel layout (chains on sublanes, used for N > 128)
+    must match the XLA site loop. Exercised here at small N via force_cb so
+    the CPU interpreter stays fast; chain padding (C=3 -> CB=8) is covered."""
+    if model_cls is HubbardModelAttractive:
+        model = model_cls(dims=2, L=4, U=4.0, mu=0.0)
+    else:
+        model = model_cls(dims=2, L=4, U=4.0)
+    params = DQMCParameters(beta=2.0)
+    ctx, consts = core.make_context(model, params, update_dtype=jnp.float32)
+    C, N, F = 3, ctx.N, ctx.F
+    rng = np.random.default_rng(1)
+    G = jnp.asarray(rng.normal(size=(C, F, N, N)) * 0.2 + 0.5 * np.eye(N),
+                    jnp.float32)
+    sigma = jnp.asarray(rng.choice([-1, 1], size=(C, N)), jnp.int32)
+    u = jnp.asarray(rng.uniform(size=(C, N)), jnp.float32)
+
+    G2, s2, acc, nneg = pss._site_sweep_sitemajor(
+        G, sigma, u, lamb=ctx.lamb, signs=ctx.signs,
+        det_power=ctx.det_power, use_boson=ctx.use_boson, force_cb=8)
+    Gr, sr, lsr = jax.vmap(
+        lambda g, s, uu: core.sweep_slice(ctx, g, s.astype(jnp.int8), uu,
+                                          core.init_local_stats(ctx))
+    )(G, sigma, u)
+    assert np.max(np.abs(np.asarray(G2 - Gr))) < 1e-4
+    assert np.array_equal(np.asarray(s2), np.asarray(sr, dtype=np.int32))
+    assert np.array_equal(np.asarray(acc), np.asarray(lsr["acc"]))
+
+
+def test_sitemajor_block_pick():
+    assert pss._pick_sublane_block(64, 256, 1) == 8
+    assert pss._pick_sublane_block(64, 256, 2) is None
+    assert pss._pick_sublane_block(64, 144, 1) == 32
+    assert pss.sitemajor_supported(256, 1)
+    assert not pss.sitemajor_supported(512, 1)
+
+
 @pytest.mark.slow
 def test_pallas_dqmc_end_to_end():
     """Full DQMC run with use_pallas must match the plain f32 run exactly in
