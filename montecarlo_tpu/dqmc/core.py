@@ -248,8 +248,10 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     # resident in VMEM with a 128-wide chain block; beyond N=128 that exceeds
     # the 16 MB scoped limit, and the site-major kernel variant (chains on
     # sublanes, CB=8-32) takes over up to the N where even a CB=8 block no
-    # longer fits (F=1: N<=~320; F=2: N<=~220) — past that, the XLA site loop
-    # with delayed rank-k updates is the fallback
+    # longer fits (with the scratch-Gt layout F=1: N<=~376, F=2: N<=~266;
+    # with the materialized-Gt fallback ~320/~227 — sitemajor_supported runs
+    # a Mosaic compile probe to pick) — past that, the XLA site loop with
+    # delayed rank-k updates is the fallback
     if N_sites <= 128:
         pallas_ok = udt32
     else:

@@ -157,25 +157,38 @@ def site_sweep_pallas(G, sigma, u, *, lamb, signs, det_power, use_boson):
 # dynamic slice.
 
 
-def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB,
-                    u_ref, s_in, G_in, Gt_in,
-                    sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref):
+def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
+                    *refs):
     """One grid step = one site i for one chain block (grid = (n_cb, N)).
-    sigma_ref (N,1,CB) f32 ±1; G_ref (F,N,N,CB); Gt_ref = swap(-3,-2) of G;
+    sigma_ref (N,1,CB) f32 ±1; G_ref (F,N,N,CB); Gt = swap(-3,-2) of G.
     acc/nneg (N,1,CB) one-shot per-site writes.
+
+    Two Gt modes (picked by a cached Mosaic compile probe, `_gt_scratch_ok`):
+      * gt_scratch=True: Gt lives in VMEM scratch, built by an in-kernel
+        sublane<->outer transpose at site 0 — the caller neither materializes
+        nor reads Gt, saving one (F,N,N,CB) HBM round trip per call and one
+        resident block of scoped VMEM;
+      * gt_scratch=False: Gt is a regular input+output pair (proven fallback
+        for backends whose Mosaic rejects the in-kernel transpose).
 
     NOTE: inputs are NOT aliased onto the outputs — input_output_aliases on
     this call corrupted the chain state when the pallas call sat inside a
     lax.scan body with a lax.cond measurement branch (on-device bias repro:
     occ 0.99 vs 0.50; clean without the cond). The state is copied into the
     output refs at the first site step instead."""
+    if gt_scratch:
+        u_ref, s_in, G_in, sigma_ref, G_ref, acc_ref, nneg_ref, Gt_ref = refs
+    else:
+        (u_ref, s_in, G_in, Gt_in,
+         sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref) = refs
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
         sigma_ref[...] = s_in[...]
         G_ref[...] = G_in[...]
-        Gt_ref[...] = Gt_in[...]
+        Gt_ref[...] = (jnp.swapaxes(G_in[...], 1, 2) if gt_scratch
+                       else Gt_in[...])
     s = sigma_ref[pl.ds(i, 1)]                                # (1,1,CB)
     u_i = u_ref[pl.ds(i, 1)]                                  # (1,1,CB)
     dEb = jnp.float32(-2.0 * lamb) * s
@@ -232,27 +245,37 @@ from .pallas_util import pick_lane_block as _pick_chain_block
 # variant tiles the CHAIN axis instead: layout (F, N, CB, N) = [flavor, row,
 # chain-sublane, col] with a small chain block CB (8-32) on the SUBLANE
 # dimension and the full site axis on the lanes, so VMEM scales as
-# 4*F*N^2*CB*4 and N=256 fits at CB=8 (~8.4 MB). Rows G[i,:] and columns
+# 3*F*N^2*CB*4 and N=256 fits at CB=16 (~12.6 MB). Rows G[i,:] and columns
 # (via the transpose copy Gt) remain dynamic-outer-dim slices; per-chain
 # scalars live in lane space as (1,1,CB) vectors and cross into the sublane
 # space of the update via two tiny swapaxes per flavor. Grid = (C/CB, N);
 # the site loop still persists state in VMEM across grid steps.
 
 
-def _sitemajor_kernel(lamb, signs, det_power, use_boson, N, F, CB,
-                      u_ref, s_in, G_in, Gt_in,
-                      sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref):
+def _sitemajor_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
+                      *refs):
     """One grid step = one site i for one chain block (grid = (C/CB, N)).
     sigma/u/acc/nneg: (1, N, CB) [chain block on lanes]; G_ref (F,N,CB,N)
-    [chains on sublanes]; Gt_ref = swap(row, col) of G. State is copied into
-    the output refs at site 0 (no input aliasing — see _batched_kernel)."""
+    [chains on sublanes]; Gt = swap(row, col) of G. With gt_scratch=True
+    (cached Mosaic compile probe, `_gt_scratch_ok`) Gt lives in VMEM scratch,
+    built by an in-kernel outer<->lane transpose at site 0 — 3 resident big
+    blocks instead of 4, and the VMEM headroom funds CB=16 at N=256 plus
+    F=2 support; otherwise Gt is a regular input+output pair. State is
+    copied into the output refs at site 0 (no input aliasing — see
+    _batched_kernel)."""
+    if gt_scratch:
+        u_ref, s_in, G_in, sigma_ref, G_ref, acc_ref, nneg_ref, Gt_ref = refs
+    else:
+        (u_ref, s_in, G_in, Gt_in,
+         sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref) = refs
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
         sigma_ref[...] = s_in[...]
         G_ref[...] = G_in[...]
-        Gt_ref[...] = Gt_in[...]
+        Gt_ref[...] = (jnp.swapaxes(G_in[...], 1, 3) if gt_scratch
+                       else Gt_in[...])
 
     s = sigma_ref[0, pl.ds(i, 1)][None]                       # (1,1,CB) lane
     u_i = u_ref[0, pl.ds(i, 1)][None]                         # (1,1,CB) lane
@@ -297,32 +320,80 @@ def _sitemajor_kernel(lamb, signs, det_power, use_boson, N, F, CB,
     nneg_ref[0, pl.ds(i, 1)] = jnp.where(detratio[0] < 0, one, zero)
 
 
-# scoped-VMEM budget for the four resident G blocks (in+out for G and Gt);
+# scoped-VMEM budget for the resident G blocks (3 with Gt in scratch: G
+# in+out + Gt; 4 with Gt materialized: in+out for both G and Gt);
 # conservative vs the 16 MB v5e limit to leave room for the small buffers
 _SITEMAJOR_VMEM_BUDGET = 13 * 2 ** 20
 
 
-def _pick_sublane_block(C, N, F):
+def _pick_sublane_block(C, N, F, n_blocks=3):
     """Largest chain block CB (multiple of 8, dividing the padded batch) whose
-    four resident (F,N,CB,N) f32 blocks fit the scoped-VMEM budget; None if
-    even CB=8 does not fit."""
-    per_chain = 4 * F * N * N * 4  # bytes across G_in/Gt_in/G_out/Gt_out
+    n_blocks resident (F,N,CB,N) f32 blocks fit the scoped-VMEM budget; None
+    if even CB=8 does not fit."""
+    per_chain = n_blocks * F * N * N * 4
     for cb in (32, 16, 8):
         if cb * per_chain <= _SITEMAJOR_VMEM_BUDGET:
             return cb
     return None
 
 
+# Cached result of the Mosaic compile probe for the in-kernel Gt transpose,
+# keyed by (variant, N, F). The scratch-Gt variant needs Mosaic to lower a
+# sublane<->outer (batched) or outer<->lane (site-major) transpose of a VMEM
+# block — supported on current TPU toolchains but not guaranteed on every
+# jaxlib, so it is verified by an AOT lower+compile of the tiny C=CB case
+# the first time each shape class is requested (a few seconds, once per
+# process). Override with MC_TPU_GT_SCRATCH=0/1 to skip the probe.
+_GT_SCRATCH_CACHE = {}
+
+
+def _gt_scratch_ok(variant, N, F):
+    import os
+    env = os.environ.get("MC_TPU_GT_SCRATCH")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    if jax.default_backend() == "cpu":
+        return True  # interpreter mode: swapaxes always available
+    key = (variant, N, F)
+    if key not in _GT_SCRATCH_CACHE:
+        kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
+                  det_power=2 // F, use_boson=False, _force_scratch=True)
+        if variant == "batched":
+            C = 128
+            fn = functools.partial(_site_sweep_batched, **kw)
+        else:
+            C = 8
+            fn = functools.partial(_site_sweep_sitemajor, force_cb=8, **kw)
+        args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
+                jax.ShapeDtypeStruct((C, N), jnp.int32),
+                jax.ShapeDtypeStruct((C, N), jnp.float32))
+        try:
+            jax.jit(fn).lower(*args).compile()
+            _GT_SCRATCH_CACHE[key] = True
+        except Exception:  # Mosaic rejected the in-kernel transpose
+            _GT_SCRATCH_CACHE[key] = False
+    return _GT_SCRATCH_CACHE[key]
+
+
 def sitemajor_supported(N, F):
-    return _pick_sublane_block(8, N, F) is not None
+    """Whether the site-major kernel can run at this (N, F): either the
+    4-block materialized-Gt layout fits VMEM outright, or the 3-block
+    scratch-Gt layout fits AND its in-kernel transpose compiles."""
+    if _pick_sublane_block(8, N, F, n_blocks=4) is not None:
+        return True
+    if _pick_sublane_block(8, N, F, n_blocks=3) is None:
+        return False
+    return _gt_scratch_ok("sitemajor", N, F)
 
 
 def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
-                          force_cb=None):
+                          force_cb=None, _force_scratch=None):
     """Site-major fused sweep for N > 128. Same contract as
     _site_sweep_batched; chains are padded to a multiple of the chain block."""
     C, F, N, _ = G.shape
-    CB = force_cb or _pick_sublane_block(C, N, F)
+    scratch = (_force_scratch if _force_scratch is not None
+               else _gt_scratch_ok("sitemajor", N, F))
+    CB = force_cb or _pick_sublane_block(C, N, F, 3 if scratch else 4)
     pad = (-C) % CB
     if pad:
         # zero padding is algebra-safe: G=0 gives r = 1+delta (no NaN), and
@@ -331,10 +402,10 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
         G, sigma, u = zpad(G), zpad(sigma), zpad(u)
     Cp = C + pad
     kern = functools.partial(_sitemajor_kernel, float(lamb), tuple(signs),
-                             int(det_power), bool(use_boson), N, F, CB)
+                             int(det_power), bool(use_boson), N, F, CB,
+                             scratch)
     interpret = jax.default_backend() == "cpu"
     Gk = jnp.transpose(G, (1, 2, 0, 3))                       # (F,N,C,N)
-    Gtk = jnp.transpose(G, (1, 3, 0, 2))                      # [f,col,c,row]
     # small per-chain vectors: (C/CB, N, CB) so the block's lane dim (CB)
     # equals the full trailing array dim (legal for any CB)
     to_blocks = lambda a: jnp.transpose(
@@ -345,20 +416,35 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
     bigspec = pl.BlockSpec((F, N, CB, N),
                            lambda cb, i: (i32(0), i32(0), cb, i32(0)))
     rowspec = pl.BlockSpec((1, N, CB), lambda cb, i: (cb, i32(0), i32(0)))
-    sig_out, G_out, _Gt, accv, nnegv = pl.pallas_call(
+    vec_shape = jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32)
+    big_shape = jax.ShapeDtypeStruct((F, N, Cp, N), jnp.float32)
+    in_specs = [rowspec, rowspec, bigspec]
+    operands = [uk, sig, Gk]
+    out_specs = [rowspec, bigspec]
+    out_shape = [vec_shape, big_shape]
+    scratch_shapes = []
+    if scratch:
+        scratch_shapes = [pltpu.VMEM((F, N, CB, N), jnp.float32)]
+    else:
+        in_specs.append(bigspec)
+        operands.append(jnp.transpose(G, (1, 3, 0, 2)))       # [f,col,c,row]
+        out_specs.append(bigspec)
+        out_shape.append(big_shape)
+    out_specs += [rowspec, rowspec]
+    out_shape += [vec_shape, vec_shape]
+    outs = pl.pallas_call(
         kern,
         interpret=interpret,
         grid=(Cp // CB, N),
-        in_specs=[rowspec, rowspec, bigspec, bigspec],
-        out_specs=[rowspec, bigspec, bigspec, rowspec, rowspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32),
-            jax.ShapeDtypeStruct((F, N, Cp, N), jnp.float32),
-            jax.ShapeDtypeStruct((F, N, Cp, N), jnp.float32),
-            jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32),
-            jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32),
-        ],
-    )(uk, sig, Gk, Gtk)
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+    )(*operands)
+    if scratch:
+        sig_out, G_out, accv, nnegv = outs
+    else:
+        sig_out, G_out, _Gt, accv, nnegv = outs
     from_blocks = lambda a: jnp.transpose(a, (0, 2, 1)).reshape(Cp, N)[:C]
     G_new = jnp.transpose(G_out, (2, 0, 1, 3))[:C]
     sigma_new = from_blocks(sig_out).astype(sigma.dtype)
@@ -367,40 +453,59 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
     return G_new, sigma_new, acc, nneg
 
 
-def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson):
+def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson,
+                        _force_scratch=None):
     """Batched fused sweep. G: (C,F,N,N) f32, sigma: (C,N), u: (C,N).
     Returns (G, sigma, acc (C,), nneg (C,)). Dispatches to the chain-on-lanes
     kernel for N <= 128 and the site-major kernel beyond."""
     C, F, N, _ = G.shape
     if N > 128:
         return _site_sweep_sitemajor(G, sigma, u, lamb=lamb, signs=signs,
-                                     det_power=det_power, use_boson=use_boson)
+                                     det_power=det_power, use_boson=use_boson,
+                                     _force_scratch=_force_scratch)
+    scratch = (_force_scratch if _force_scratch is not None
+               else _gt_scratch_ok("batched", N, F))
     CB = _pick_chain_block(C)
     kern = functools.partial(_batched_kernel, float(lamb), tuple(signs),
-                             int(det_power), bool(use_boson), N, F, CB)
+                             int(det_power), bool(use_boson), N, F, CB,
+                             scratch)
     interpret = jax.default_backend() == "cpu"
     Gk = jnp.transpose(G, (1, 2, 3, 0))                       # (F,N,N,C)
-    Gtk = jnp.transpose(G, (1, 3, 2, 0))
     sig = jnp.transpose(sigma.astype(jnp.float32), (1, 0))[:, None, :]
     uk = jnp.transpose(u, (1, 0))[:, None, :]                 # (N,1,C)
     i32 = jnp.int32
     bigspec = pl.BlockSpec((F, N, N, CB),
                            lambda cb, i: (i32(0), i32(0), i32(0), cb))
     rowspec = pl.BlockSpec((N, 1, CB), lambda cb, i: (i32(0), i32(0), cb))
-    sig_out, G_out, _Gt, accv, nnegv = pl.pallas_call(
+    vec_shape = jax.ShapeDtypeStruct((N, 1, C), jnp.float32)
+    big_shape = jax.ShapeDtypeStruct((F, N, N, C), jnp.float32)
+    in_specs = [rowspec, rowspec, bigspec]
+    operands = [uk, sig, Gk]
+    out_specs = [rowspec, bigspec]
+    out_shape = [vec_shape, big_shape]
+    scratch_shapes = []
+    if scratch:
+        scratch_shapes = [pltpu.VMEM((F, N, N, CB), jnp.float32)]
+    else:
+        in_specs.append(bigspec)
+        operands.append(jnp.transpose(G, (1, 3, 2, 0)))
+        out_specs.append(bigspec)
+        out_shape.append(big_shape)
+    out_specs += [rowspec, rowspec]
+    out_shape += [vec_shape, vec_shape]
+    outs = pl.pallas_call(
         kern,
         interpret=interpret,
         grid=(C // CB, N),
-        in_specs=[rowspec, rowspec, bigspec, bigspec],
-        out_specs=[rowspec, bigspec, bigspec, rowspec, rowspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
-            jax.ShapeDtypeStruct((F, N, N, C), jnp.float32),
-            jax.ShapeDtypeStruct((F, N, N, C), jnp.float32),
-            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
-            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
-        ],
-    )(uk, sig, Gk, Gtk)
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+    )(*operands)
+    if scratch:
+        sig_out, G_out, accv, nnegv = outs
+    else:
+        sig_out, G_out, _Gt, accv, nnegv = outs
     G_new = jnp.transpose(G_out, (3, 0, 1, 2))
     sigma_new = sig_out[:, 0, :].T.astype(sigma.dtype)
     acc = jnp.sum(accv[:, 0, :], axis=0).astype(jnp.int32)

@@ -72,11 +72,33 @@ def test_sitemajor_matches_xla_sweep(model_cls):
 
 
 def test_sitemajor_block_pick():
-    assert pss._pick_sublane_block(64, 256, 1) == 8
-    assert pss._pick_sublane_block(64, 256, 2) is None
+    # 3-block (scratch-Gt) budget: the default when the in-kernel transpose
+    # compiles; 4-block is the materialized-Gt fallback
+    assert pss._pick_sublane_block(64, 256, 1) == 16
+    assert pss._pick_sublane_block(64, 256, 2) == 8
     assert pss._pick_sublane_block(64, 144, 1) == 32
+    assert pss._pick_sublane_block(64, 256, 1, n_blocks=4) == 8
+    assert pss._pick_sublane_block(64, 256, 2, n_blocks=4) is None
     assert pss.sitemajor_supported(256, 1)
+    # N=256 F=2 fits ONLY via the scratch variant (CPU probe: always ok)
+    assert pss.sitemajor_supported(256, 2)
     assert not pss.sitemajor_supported(512, 1)
+
+
+def test_gt_materialized_fallback_matches_scratch():
+    """The materialized-Gt fallback path (used when the Mosaic probe fails)
+    must be bit-identical to the scratch-Gt default."""
+    key = jax.random.PRNGKey(11)
+    C, F, N = 4, 1, 16
+    kG, ks, ku = jax.random.split(key, 3)
+    G = jax.random.normal(kG, (C, F, N, N), jnp.float32) * 0.3
+    sigma = jnp.where(jax.random.bernoulli(ks, 0.5, (C, N)), 1, -1)
+    u = jax.random.uniform(ku, (C, N), jnp.float32)
+    kw = dict(lamb=0.4, signs=(1.0,), det_power=2, use_boson=True)
+    a = pss._site_sweep_batched(G, sigma, u, _force_scratch=True, **kw)
+    b = pss._site_sweep_batched(G, sigma, u, _force_scratch=False, **kw)
+    for x, y in zip(a, b):
+        assert jnp.array_equal(x, y)
 
 
 @pytest.mark.slow
