@@ -68,22 +68,24 @@ VALIDATE = os.environ.get("BENCH_VALIDATE", "1") == "1"
 
 
 def bench_dqmc(safe_mult=SAFE_MULT, g_refresh=False, dtype=None,
-               sweeps=SWEEPS):
+               sweeps=SWEEPS, lattice_L=None, chains=None):
     from montecarlo_tpu import HubbardModelAttractive
     from montecarlo_tpu.dqmc import core
     from montecarlo_tpu.dqmc.parameters import DQMCParameters
 
-    model = HubbardModelAttractive(dims=2, L=L, U=4.0, mu=0.0)
+    L_cur = lattice_L or L
+    n_chains = chains or N_CHAINS
+    model = HubbardModelAttractive(dims=2, L=L_cur, U=4.0, mu=0.0)
     params = DQMCParameters(beta=BETA, safe_mult=safe_mult)
     ctx, consts = core.make_context(model, params,
                                     dtype=jnp.dtype(dtype or DTYPE),
                                     use_pallas=USE_PALLAS,
                                     g_refresh=g_refresh)
     key = jax.random.PRNGKey(0)
-    conf = model.rand_conf(key, N_CHAINS, params.slices)
-    keys = jax.random.split(key, N_CHAINS)
+    conf = model.rand_conf(key, n_chains, params.slices)
+    keys = jax.random.split(key, n_chains)
     state = jax.jit(jax.vmap(partial(core.init_state, ctx, consts)))(conf, keys)
-    if len(jax.devices()) > 1 and N_CHAINS % len(jax.devices()) == 0:
+    if len(jax.devices()) > 1 and n_chains % len(jax.devices()) == 0:
         # multi-chip: shard the chain axis over the ICI mesh — the jitted
         # sweep partitions into pure per-device compute (no collectives)
         from montecarlo_tpu.parallel import chain_mesh, shard_chain_state
@@ -116,7 +118,7 @@ def bench_dqmc(safe_mult=SAFE_MULT, g_refresh=False, dtype=None,
         "n_windows": int(jnp.sum(state["prop_err_n"])),
     }
     acc = float(jnp.sum(state["acc"])) / float(jnp.sum(state["prop"]))
-    return N_CHAINS * sweeps / dt, dt / sweeps, drift, acc
+    return n_chains * sweeps / dt, dt / sweeps, drift, acc
 
 
 def bench_ising():
@@ -205,6 +207,21 @@ def main():
                         "drift_max": f_drift["max"]}
         except Exception as err:  # pragma: no cover
             f64_mode = {"error": repr(err)}
+    # L=16 (N=256) operating point: exercises the site-major Pallas kernel
+    # (chains on sublanes) past the N=128 chain-on-lanes cap — measured every
+    # round so the large-lattice scaling story is in the bench record
+    # (VERDICT r2 task 4). 64 chains matches the ROADMAP L=16 comparison row.
+    l16_mode = None
+    if L < 16 and os.environ.get("BENCH_L16", "1") == "1":
+        try:
+            _progress("L=16 site-major mode")
+            l_sps, _, l_drift, l_acc = bench_dqmc(sweeps=2, lattice_L=16,
+                                                  chains=64)
+            l16_mode = {"chains": 64, "chain_sweeps_per_s": round(l_sps, 3),
+                        "drift_max": l_drift["max"],
+                        "acceptance": round(l_acc, 4)}
+        except Exception as err:  # pragma: no cover
+            l16_mode = {"error": repr(err)}
     try:
         _progress("ising")
         ising_flips = bench_ising()
@@ -267,6 +284,8 @@ def main():
         "conservative_mode": refresh_mode,
         # strict-f64 (validation-only on TPU): pinned so regressions show
         "f64_mode": f64_mode,
+        # L=16 / N=256 large-lattice point (site-major Pallas kernel)
+        "l16_mode": l16_mode,
         "propagation_drift": drift,
         "acceptance": round(acc, 4),
         "sanity_ok": sanity,
