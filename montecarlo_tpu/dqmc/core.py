@@ -1070,6 +1070,55 @@ def sweep_pair(ctx, consts, state):
 
 
 # ---------------------------------------------------------------------------
+# module-level trace cache for the jitted batched entry points
+# ---------------------------------------------------------------------------
+#
+# Tracing sweep_pair costs seconds of host time per jit closure (thousands of
+# primitive binds under vmap), and every DQMC instance used to build fresh
+# `jit(vmap(partial(...)))` closures — so the TH and ME blocks, a save/load
+# pair, or two comparison simulations each paid a full retrace even with the
+# persistent XLA compile cache warm. These factories memoize the jitted
+# callables on (kernel, ctx, consts CONTENT), so any simulation with an equal
+# static context and bit-equal constant matrices shares one trace + compile.
+# consts stay closed over (not arguments): complex sessions keep them as
+# numpy constants because some tunneled TPU runtimes cannot transfer complex
+# arrays at all, and constant-embedding also avoids per-call host transfers.
+
+_TRACE_CACHE = {}
+_TRACE_CACHE_MAX = 128
+
+
+def _consts_digest(consts):
+    import hashlib
+    h = hashlib.sha1()
+    for k in sorted(consts):
+        a = np.asarray(consts[k])
+        h.update(k.encode())
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.digest()
+
+
+def jitted_vmapped(name, ctx, consts):
+    """Memoized `jit(vmap(partial(kernel, ctx, consts)))` for the batched
+    entry points ("sweep_pair", "init_state", "unwrap_greens"). Nested-jit
+    semantics are unchanged (XLA inlines the call); the win is that repeated
+    traces of an equal-config kernel hit JAX's pjit trace cache instead of
+    re-binding the whole program."""
+    key = (name, ctx, _consts_digest(consts))
+    fn = _TRACE_CACHE.get(key)
+    if fn is None:
+        kernel = {"sweep_pair": sweep_pair, "init_state": init_state,
+                  "unwrap_greens": unwrap_greens}[name]
+        fn = jax.jit(jax.vmap(partial(kernel, ctx, consts)))
+        if len(_TRACE_CACHE) >= _TRACE_CACHE_MAX:  # drop the oldest entry
+            _TRACE_CACHE.pop(next(iter(_TRACE_CACHE)))
+        _TRACE_CACHE[key] = fn
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # greens access  (reference: greens/_greens!, DQMC.jl:700-781 and
 # calculate_greens(mc, slice), stack.jl:422-480)
 # ---------------------------------------------------------------------------

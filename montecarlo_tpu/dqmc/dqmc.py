@@ -121,8 +121,8 @@ class DQMC:
         init_key, sweep_key = jax.random.split(root)
         conf = model.rand_conf(init_key, self.n_chains, self.parameters.slices)
         chain_keys = jax.random.split(sweep_key, self.n_chains)
-        self.state = jax.jit(jax.vmap(partial(core.init_state, self.ctx,
-                                              self.consts)))(conf, chain_keys)
+        self.state = core.jitted_vmapped("init_state", self.ctx,
+                                         self.consts)(conf, chain_keys)
 
         self.configs = recorder if recorder is not None else Discarder()
         if recording_rate is not None:
@@ -193,8 +193,8 @@ class DQMC:
         registry = (self.measurements if stage == "ME"
                     else self.thermalization_measurements)
         meas_items = list(registry.measurements.items()) if measure else []
-        vsweep = jax.vmap(partial(core.sweep_pair, ctx, consts))
-        vunwrap = jax.vmap(partial(core.unwrap_greens, ctx, consts))
+        vsweep = core.jitted_vmapped("sweep_pair", ctx, consts)
+        vunwrap = core.jitted_vmapped("unwrap_greens", ctx, consts)
 
         def one_sweep(carry, sweep_idx):
             states, bstates = carry
@@ -237,7 +237,7 @@ class DQMC:
         # values reaching ~4e6 at beta=10/f32 before this guard).
         _prec = ctx.matmul_precision()
         _prec.__enter__()
-        vunwrap = jax.vmap(partial(core.unwrap_greens, ctx, consts))
+        vunwrap = core.jitted_vmapped("unwrap_greens", ctx, consts)
         equal = [(k, m) for k, m in meas_items if m.kind == "equal"]
         gat = [(k, m) for k, m in meas_items if m.kind == "greens_at"]
         comb = [(k, m) for k, m in meas_items if m.kind == "combined"]
@@ -556,8 +556,8 @@ class DQMC:
         self.last_sweep = int(state["last_sweep"])
         conf = jnp.asarray(state["conf"])
         keys = jnp.asarray(state["key"])
-        self.state = jax.jit(jax.vmap(partial(core.init_state, self.ctx,
-                                              self.consts)))(conf, keys)
+        self.state = core.jitted_vmapped("init_state", self.ctx,
+                                         self.consts)(conf, keys)
         rec_state = state["configs"]
         self.configs = (ConfigRecorder.from_state(rec_state)
                         if rec_state["type"] == "ConfigRecorder"
