@@ -458,12 +458,22 @@ class DQMC:
             print(f"[DQMC] saved resumable checkpoint to {filename}")
 
     # ---------------------------------------------------------------- greens
-    def greens(self, slice_idx: int = 0):
-        """Physical equal-time Green's function (C, F, N, N), recomputed from
-        the current configurations (reference: greens(mc), DQMC.jl:700-731)."""
-        fn = jax.jit(jax.vmap(lambda c: core.unwrap_greens(
-            self.ctx, self.consts,
-            core.greens_from_scratch(self.ctx, self.consts, c, slice_idx))))
+    def greens(self, slice_idx: int = 0, l: int = None):
+        """Physical Green's function (C, F, N, N), recomputed from the
+        current configurations. ``greens()`` / ``greens(slice)`` is the
+        equal-time G at a slice (reference: greens(mc), DQMC.jl:700-731);
+        ``greens(k, l)`` is the time-displaced G(kΔτ ← lΔτ) for
+        0 ≤ k, l ≤ slices (reference: greens(mc, k, l),
+        unequal_time_stack.jl:271-304)."""
+        if l is None:
+            fn = jax.jit(jax.vmap(lambda c: core.unwrap_greens(
+                self.ctx, self.consts,
+                core.greens_from_scratch(self.ctx, self.consts, c, slice_idx))))
+        else:
+            from . import unequal_time as ut
+            fn = jax.jit(jax.vmap(lambda c: core.unwrap_greens(
+                self.ctx, self.consts,
+                ut.greens_kl(self.ctx, self.consts, c, slice_idx, l))))
         return fn(self.state["conf"])
 
     # ---------------------------------------------------------------- replay

@@ -152,3 +152,24 @@ def test_combined_iterator_yields_all_M():
     n = ut.combined_greens_apply(ctx, consts, conf, G00,
                                  jnp.zeros((), jnp.int32), step)
     assert int(n) == ctx.M
+
+
+def test_public_greens_kl_api():
+    """sim.greens(k, l) — the public time-displaced accessor (reference:
+    greens(mc, k, l), unequal_time_stack.jl:271-304) — returns the PHYSICAL
+    (unwrapped) G(kΔτ ← lΔτ): G(l, l) matches the equal-time sim.greens(l),
+    and anti-periodicity G(k,0) = -G(k,M) holds through the public API."""
+    import montecarlo_tpu as mc
+    model = HubbardModelAttractive(dims=2, L=2, U=4.0, mu=0.5)
+    sim = mc.DQMC(model, beta=2.0, n_chains=2, seed=5, sweeps=2,
+                  thermalization=1)
+    sim.run(verbose=False)
+    M = sim.ctx.M
+    for l in (0, 7):
+        Gll = np.asarray(sim.greens(l, l))
+        Get = np.asarray(sim.greens(l))
+        assert np.max(np.abs(Gll - Get)) < 1e-11, f"l={l}"
+    for k in (3, 11):
+        Gk0 = np.asarray(sim.greens(k, 0))
+        GkM = np.asarray(sim.greens(k, M))
+        assert np.max(np.abs(Gk0 + GkM)) < 1e-11, f"k={k}"
