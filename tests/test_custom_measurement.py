@@ -147,3 +147,34 @@ def test_custom_each_site_pair_normalization():
     v = np.asarray(sim.observables()["gp"]["gp"].mean)
     N = len(model.lattice)
     assert v.shape == (N, N)
+
+
+def test_custom_classical_mc_measurement_binder():
+    """A user-defined classical-MC measurement (Binder cumulant) via the
+    generic Measurement bundle (reference: AbstractMeasurement subtyping +
+    measure!/finish!, src/Measurements.jl:6-56). measure_fn sees the batched
+    configuration; finish_fn derives U4 from the binned moments. Deep in the
+    ferromagnetic phase U4 -> 2/3."""
+    from montecarlo_tpu.measurements import Measurement
+
+    model = mc.IsingModel(dims=2, L=8)
+    sim = mc.MC(model, beta=1.0, n_chains=32, seed=4, sweeps=200,
+                thermalization=100)
+
+    def measure(conf, **_):
+        m = jnp.abs(jnp.mean(conf.reshape(conf.shape[0], -1).astype(
+            jnp.float64), axis=1))
+        return {"m2": m ** 2, "m4": m ** 4}
+
+    def finish(stats, _context):
+        m2 = np.mean(stats["m2"].per_chain_mean)
+        m4 = np.mean(stats["m4"].per_chain_mean)
+        return {"U4": float(1.0 - m4 / (3.0 * m2 ** 2))}
+
+    sim["binder"] = Measurement(name="binder",
+                                obs_shapes={"m2": (), "m4": ()},
+                                measure_fn=measure, finish_fn=finish)
+    sim.run(verbose=False)
+    obs = sim.observables()
+    u4 = obs["binder"]["U4"]
+    assert abs(u4 - 2.0 / 3.0) < 0.01, u4
