@@ -171,7 +171,12 @@ def _graded_dirty_R(key, B, N, dtype=jnp.float32, spread=8.0):
     return R, piv
 
 
-@pytest.mark.parametrize("N", [8, 64, 72])
+# tri_unit_inv is an experimentation-only path (linalg.TRI_INV stays False
+# in production — XLA's triangular_solve measured faster end-to-end); keep
+# one small fast check, push the big-N variants to the slow tier
+@pytest.mark.parametrize("N", [8,
+                               pytest.param(64, marks=pytest.mark.slow),
+                               pytest.param(72, marks=pytest.mark.slow)])
 def test_tri_unit_inv_matches_substitution(N):
     from montecarlo_tpu.ops import linalg
     key = jax.random.PRNGKey(3)
@@ -183,6 +188,7 @@ def test_tri_unit_inv_matches_substitution(N):
     assert np.max(np.abs(np.asarray(ref - got))) < 5e-5 * max(scale, 1.0)
 
 
+@pytest.mark.slow
 def test_tri_unit_inv_exact_inverse_property():
     from montecarlo_tpu.ops import linalg
     R, _ = _graded_dirty_R(jax.random.PRNGKey(5), 8, 64)
@@ -192,6 +198,7 @@ def test_tri_unit_inv_exact_inverse_property():
     assert resid < 1e-4
 
 
+@pytest.mark.slow
 def test_tri_unit_inv_complex():
     from montecarlo_tpu.ops import linalg
     key = jax.random.PRNGKey(6)
