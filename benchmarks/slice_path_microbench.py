@@ -84,6 +84,14 @@ def main():
         G, sigma, _ = jax.vmap(partial(core.sweep_slice, ctx))(G, sigma, u, ls)
         return G, sigma
 
+    def null_body(G, sigma, u):
+        # scaffolding-only baseline: pays the per-iteration RNG split +
+        # uniform draw + a flip-style sigma mutation (matching wrap_only's
+        # anti-hoisting mutation) but none of the real work; subtracted from
+        # every region so the shared scan overhead is not double-counted
+        flip = jnp.where(u > 2.0, -1, 1)  # data-dependent: never folds
+        return G, (sigma * flip).astype(sigma.dtype)
+
     def wrap_only(G, sigma, u):
         G = jax.vmap(partial(core.wrap_up, ctx, consts))(sigma, G)
         # mutate sigma from G so neither scan operand is loop-invariant
@@ -96,6 +104,8 @@ def main():
         return G, sigma
 
     with ctx.matmul_precision():
+        t_null = _timed("scan scaffolding (RNG) only", scan_region(null_body),
+                        G0, sigma0, key)
         t_sweep = _timed("site sweep (pallas) only", scan_region(site_sweep_only),
                          G0, sigma0, key)
         t_wrap = _timed("wrap_up only", scan_region(wrap_only), G0, sigma0, key)
@@ -130,10 +140,16 @@ def main():
         t_ext = (time.time() - t0) / max(1, K // 10) * 1e3
         print(f"{'extend_left (sm=10 B-mults + QR)':34s} {t_ext:8.4f} ms / boundary")
 
-    overhead = t_both - t_sweep - t_wrap
-    print(f"\nper-slice-visit split: sweep {t_sweep:.4f} + wrap {t_wrap:.4f} "
-          f"ms (combined {t_both:.4f}; fusion overlap {overhead:+.4f})")
-    print(f"wrap share of the slice path: {t_wrap / t_both:.1%} — the upper "
+    # net out the shared per-iteration scaffolding so it is not subtracted
+    # twice (each region's scan body pays the same RNG split + draw + flip)
+    s_net = t_sweep - t_null
+    w_net = t_wrap - t_null
+    both_net = t_both - t_null
+    overhead = both_net - s_net - w_net
+    print(f"\nper-slice-visit split (net of {t_null:.4f} ms scaffolding): "
+          f"sweep {s_net:.4f} + wrap {w_net:.4f} ms "
+          f"(combined {both_net:.4f}; fusion overlap {overhead:+.4f})")
+    print(f"wrap share of the slice path: {w_net / both_net:.1%} — the upper "
           f"bound on ROADMAP lever 2 (wrap fusion) for the headline")
 
 

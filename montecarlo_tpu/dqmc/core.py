@@ -252,7 +252,11 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     # with the materialized-Gt fallback ~320/~227 — sitemajor_supported runs
     # a Mosaic compile probe to pick) — past that, the XLA site loop with
     # delayed rank-k updates is the fallback
-    if N_sites <= 128:
+    if not use_pallas:
+        # short-circuit before sitemajor_supported: its Mosaic AOT compile
+        # probe costs seconds and is pointless when the kernel can never run
+        pallas_ok = False
+    elif N_sites <= 128:
         pallas_ok = udt32
     else:
         from ..ops.pallas_site_sweep import sitemajor_supported
@@ -1085,7 +1089,17 @@ def sweep_pair(ctx, consts, state):
 # arrays at all, and constant-embedding also avoids per-call host transfers.
 
 _TRACE_CACHE = {}
-_TRACE_CACHE_MAX = 128
+# Compiled executables embed the consts as on-device constants, so each entry
+# pins HBM (a few MB at L=16) for the process lifetime; keep the cache a small
+# LRU and expose clear_trace_cache() for long parameter scans over many
+# distinct configs.
+_TRACE_CACHE_MAX = 32
+
+
+def clear_trace_cache():
+    """Drop all memoized jitted entry points (frees the HBM pinned by their
+    embedded constant buffers; subsequent simulations re-trace)."""
+    _TRACE_CACHE.clear()
 
 
 def _consts_digest(consts):
@@ -1107,14 +1121,14 @@ def jitted_vmapped(name, ctx, consts):
     traces of an equal-config kernel hit JAX's pjit trace cache instead of
     re-binding the whole program."""
     key = (name, ctx, _consts_digest(consts))
-    fn = _TRACE_CACHE.get(key)
+    fn = _TRACE_CACHE.pop(key, None)  # pop+reinsert = LRU move-to-end
     if fn is None:
         kernel = {"sweep_pair": sweep_pair, "init_state": init_state,
                   "unwrap_greens": unwrap_greens}[name]
         fn = jax.jit(jax.vmap(partial(kernel, ctx, consts)))
-        if len(_TRACE_CACHE) >= _TRACE_CACHE_MAX:  # drop the oldest entry
+        if len(_TRACE_CACHE) >= _TRACE_CACHE_MAX:  # evict least recently used
             _TRACE_CACHE.pop(next(iter(_TRACE_CACHE)))
-        _TRACE_CACHE[key] = fn
+    _TRACE_CACHE[key] = fn
     return fn
 
 

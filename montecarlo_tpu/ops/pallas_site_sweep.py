@@ -329,10 +329,13 @@ _SITEMAJOR_VMEM_BUDGET = 13 * 2 ** 20
 def _pick_sublane_block(C, N, F, n_blocks=3):
     """Largest chain block CB (multiple of 8, dividing the padded batch) whose
     n_blocks resident (F,N,CB,N) f32 blocks fit the scoped-VMEM budget; None
-    if even CB=8 does not fit."""
+    if even CB=8 does not fit. CB is capped at the next multiple of 8 >= C so
+    a small chain batch (e.g. the single-chain reproduce-the-reference setup)
+    is not padded out to the VMEM-optimal block."""
     per_chain = n_blocks * F * N * N * 4
+    cap = max(8, -(-C // 8) * 8)
     for cb in (32, 16, 8):
-        if cb * per_chain <= _SITEMAJOR_VMEM_BUDGET:
+        if cb <= cap and cb * per_chain <= _SITEMAJOR_VMEM_BUDGET:
             return cb
     return None
 
@@ -394,6 +397,12 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
     scratch = (_force_scratch if _force_scratch is not None
                else _gt_scratch_ok("sitemajor", N, F))
     CB = force_cb or _pick_sublane_block(C, N, F, 3 if scratch else 4)
+    if CB is None:
+        raise ValueError(
+            f"site-major fused sweep unsupported at N={N}, F={F} "
+            f"(scratch={scratch}): no chain block fits the scoped-VMEM "
+            "budget — use the XLA site loop (use_pallas=False / "
+            "make_context's automatic fallback)")
     pad = (-C) % CB
     if pad:
         # zero padding is algebra-safe: G=0 gives r = 1+delta (no NaN), and

@@ -83,6 +83,22 @@ def test_sitemajor_block_pick():
     # N=256 F=2 fits ONLY via the scratch variant (CPU probe: always ok)
     assert pss.sitemajor_supported(256, 2)
     assert not pss.sitemajor_supported(512, 1)
+    # CB capped at the next multiple of 8 >= C: a single-chain call must not
+    # pad out to the VMEM-optimal block
+    assert pss._pick_sublane_block(1, 144, 1) == 8
+    assert pss._pick_sublane_block(20, 144, 1) == 16  # cap 24 -> next is 16
+    assert pss._pick_sublane_block(64, 144, 1) == 32
+
+
+def test_sitemajor_unsupported_shape_raises():
+    # N=512 fits no chain block; the kernel must fail with a clear contract
+    # error, not an opaque TypeError from CB=None arithmetic
+    G = jnp.zeros((2, 1, 512, 512), jnp.float32)
+    sigma = jnp.ones((2, 512), jnp.int32)
+    u = jnp.zeros((2, 512), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported"):
+        pss._site_sweep_sitemajor(G, sigma, u, lamb=0.4, signs=(1.0,),
+                                  det_power=2, use_boson=True)
 
 
 def test_gt_materialized_fallback_matches_scratch():

@@ -50,6 +50,26 @@ def test_cached_run_is_bit_identical():
     assert np.array_equal(np.asarray(a.state["G"]), np.asarray(b.state["G"]))
 
 
+def test_lru_hit_refreshes_and_clear_empties():
+    filled = dict(core._TRACE_CACHE)
+    try:
+        core._TRACE_CACHE.clear()
+        a = _sim()
+        fa = core.jitted_vmapped("sweep_pair", a.ctx, a.consts)
+        # fill to capacity with fakes; the real entry sits oldest
+        for i in range(core._TRACE_CACHE_MAX - 1):
+            core._TRACE_CACHE[("fake", i)] = None
+        # a hit must move it to the end so the next insert evicts a fake
+        assert core.jitted_vmapped("sweep_pair", a.ctx, a.consts) is fa
+        core._TRACE_CACHE[("fake", "new")] = None
+        assert list(core._TRACE_CACHE)[-2][0] == "sweep_pair"
+        core.clear_trace_cache()
+        assert len(core._TRACE_CACHE) == 0
+    finally:
+        core._TRACE_CACHE.clear()
+        core._TRACE_CACHE.update(filled)
+
+
 def test_cache_eviction_bounds_size():
     filled = dict(core._TRACE_CACHE)
     try:
