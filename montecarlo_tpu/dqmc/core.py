@@ -252,10 +252,17 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     # with the materialized-Gt fallback ~320/~227 — sitemajor_supported runs
     # a Mosaic compile probe to pick) — past that, the XLA site loop with
     # delayed rank-k updates is the fallback
+    udt_cx64 = jnp.dtype(udtype) == jnp.dtype(jnp.complex64)
     if not use_pallas:
-        # short-circuit before sitemajor_supported: its Mosaic AOT compile
-        # probe costs seconds and is pointless when the kernel can never run
+        # short-circuit before the *_supported probes: their Mosaic AOT
+        # compile costs seconds and is pointless when the kernel can never run
         pallas_ok = False
+    elif udt_cx64:
+        # complex64 (Peierls) sessions: two-plane chain-on-lanes kernel,
+        # N <= 128 only (complex128 has no kernel — Mosaic is f32-only and
+        # double-float emulation of complex ops is unreliable on TPU anyway)
+        from ..ops.pallas_site_sweep import complex_supported
+        pallas_ok = complex_supported(N_sites, model.nflavors)
     elif N_sites <= 128:
         pallas_ok = udt32
     else:
@@ -486,11 +493,56 @@ def _normalize_phase(ctx, ls):
     return ls
 
 
+def _track_detratio_batch(ctx, ls, det, accept):
+    """Vectorized _track_detratio over a whole slice's proposals (used by the
+    fused complex kernel, which emits per-site detratios + accept flags).
+    Every statistic is order-independent (counts, masked min/max/sum in the
+    log10 domain, phase product over accepted flips), so this matches the
+    sequential per-proposal bookkeeping exactly."""
+    det_re = jnp.real(det)
+    neg = det_re < 0
+    ls = dict(ls)
+    ls["acc"] = ls["acc"] + jnp.sum(accept, dtype=jnp.int32)
+    ls["nneg"] = ls["nneg"] + jnp.sum(neg, dtype=jnp.int32)
+    rd = ls["neg_sum"].dtype
+
+    def _mag(prefix, value, mask):
+        lv = jnp.log10(jnp.maximum(jnp.abs(value),
+                                   jnp.asarray(1e-38, rd))).astype(rd)
+        inf = jnp.asarray(jnp.inf, rd)
+        ls[prefix + "_min"] = jnp.minimum(
+            ls[prefix + "_min"], jnp.min(jnp.where(mask, lv, inf)))
+        ls[prefix + "_max"] = jnp.maximum(
+            ls[prefix + "_max"], jnp.max(jnp.where(mask, lv, -inf)))
+        ls[prefix + "_sum"] = ls[prefix + "_sum"] + jnp.sum(
+            jnp.where(mask, lv, jnp.zeros_like(lv)))
+
+    _mag("neg", det_re, neg)
+    if ctx.is_complex:
+        det_im = jnp.imag(det)
+        bad = jnp.abs(det_im) > IMAG_PROB_THRESHOLD
+        ls["imag_count"] = ls["imag_count"] + jnp.sum(bad, dtype=jnp.int32)
+        _mag("imag", det_im, bad)
+        mag = jnp.maximum(jnp.abs(det), 1e-38)
+        ph = det.astype(ls["phase"].dtype) / mag.astype(ls["phase"].dtype)
+        ls["phase"] = ls["phase"] * jnp.prod(
+            jnp.where(accept, ph, jnp.ones_like(ph)))
+    return ls
+
+
 def sweep_slice(ctx, G, sigma, u, ls):
     """Sequential Metropolis over all sites of one time slice with rank-1
     Green's updates per flavor block. G: (F,N,N), sigma: (N,), u: (N,) uniforms,
     ls: local-stats bundle (init_local_stats). Returns (G, sigma, ls)."""
     if ctx.use_pallas:
+        if ctx.is_complex:
+            from ..ops.pallas_site_sweep import get_fused_site_sweep_cx
+            fused = get_fused_site_sweep_cx(
+                lamb=ctx.lamb, signs=ctx.signs, det_power=ctx.det_power,
+                use_boson=ctx.use_boson)
+            G2, s2, accept, det = fused(G, sigma.astype(jnp.int32), u)
+            ls = _track_detratio_batch(ctx, ls, det, accept)
+            return G2, s2.astype(sigma.dtype), _normalize_phase(ctx, ls)
         from ..ops.pallas_site_sweep import get_fused_site_sweep
         fused = get_fused_site_sweep(
             lamb=ctx.lamb, signs=ctx.signs, det_power=ctx.det_power,

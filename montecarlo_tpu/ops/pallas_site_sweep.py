@@ -360,14 +360,21 @@ def _gt_scratch_ok(variant, N, F):
     key = (variant, N, F)
     if key not in _GT_SCRATCH_CACHE:
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
-                  det_power=2 // F, use_boson=False, _force_scratch=True)
-        if variant == "batched":
+                  det_power=2 // F, use_boson=False)
+        gdtype = jnp.float32
+        if variant == "batched_cx":
+            C = 8
+            gdtype = jnp.complex64
+            fn = functools.partial(_site_sweep_batched_cx, **kw)
+        elif variant == "batched":
             C = 128
-            fn = functools.partial(_site_sweep_batched, **kw)
+            fn = functools.partial(_site_sweep_batched,
+                                   _force_scratch=True, **kw)
         else:
             C = 8
-            fn = functools.partial(_site_sweep_sitemajor, force_cb=8, **kw)
-        args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
+            fn = functools.partial(_site_sweep_sitemajor, force_cb=8,
+                                   _force_scratch=True, **kw)
+        args = (jax.ShapeDtypeStruct((C, F, N, N), gdtype),
                 jax.ShapeDtypeStruct((C, N), jnp.int32),
                 jax.ShapeDtypeStruct((C, N), jnp.float32))
         try:
@@ -522,7 +529,214 @@ def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson,
     return G_new, sigma_new, acc, nneg
 
 
+# ---------------------------------------------------------------------------
+# Complex (Peierls-phase) chain-on-lanes kernel
+# ---------------------------------------------------------------------------
+#
+# Complex-hopping sessions (reference capability: greenseltype hook +
+# complex UDT paths, src/flavors/DQMC/DQMC_optional.jl:7-40,
+# src/linalg/UDT.jl:316-469) previously had NO fused kernel — Mosaic has no
+# complex dtypes — so the site loop ran the per-op-latency-bound XLA path
+# (853 chain-sweeps/s at the 8x8 beta=10 headline vs 4060 for the real f32
+# kernel). This variant hand-writes complex64 arithmetic on two f32 planes
+# (re, im), with the same layout as `_batched_kernel`: chains on the 128-wide
+# lanes, G + its transpose resident in VMEM across the whole site loop (the
+# transposes live in scratch; there is no materialized fallback — if the
+# in-kernel transpose fails the cached compile probe, `complex_supported`
+# returns False and the XLA path stays).
+#
+# Unlike the real kernel (which only counts accepts / negative detratios and
+# lets the XLA path own the full statistics), this kernel emits the per-site
+# complex detratio and accept flag, so the caller reconstructs the COMPLETE
+# local-stats bundle outside (negative-weight magnitude stats, imaginary-
+# weight stats, running configuration phase — core._track_detratio_batch),
+# order-independently identical to the sequential XLA bookkeeping.
+
+
+def _cx_kernel(lamb, signs, det_power, use_boson, N, F, CB, *refs):
+    """One grid step = one site i for one chain block (grid = (n_cb, N)).
+    Planes: Gr/Gi (F,N,N,CB) f32 = Re/Im of G; scratch Gtr/Gti = transposes.
+    Per-site outputs acc/dre/dim (N,1,CB) carry the accept flag and the
+    complex detratio out for the host-side statistics."""
+    (u_ref, s_in, Gr_in, Gi_in,
+     sigma_ref, Gr_ref, Gi_ref, acc_ref, dre_ref, dim_ref,
+     Gtr_ref, Gti_ref) = refs
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        sigma_ref[...] = s_in[...]
+        Gr_ref[...] = Gr_in[...]
+        Gi_ref[...] = Gi_in[...]
+        Gtr_ref[...] = jnp.swapaxes(Gr_in[...], 1, 2)
+        Gti_ref[...] = jnp.swapaxes(Gi_in[...], 1, 2)
+
+    s = sigma_ref[pl.ds(i, 1)]                                # (1,1,CB)
+    u_i = u_ref[pl.ds(i, 1)]                                  # (1,1,CB)
+    dEb = jnp.float32(-2.0 * lamb) * s
+
+    onehot_j = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (1, N, 1), 1) == i,
+        jnp.float32(1.0), jnp.float32(0.0))                   # (1,N,1)
+
+    rows_r, rows_i, cols_r, cols_i = [], [], [], []
+    deltas, den_r, den_i = [], [], []
+    pr = pi = None
+    for f, sg in enumerate(signs):
+        row_r = Gr_ref[f, pl.ds(i, 1)]                        # (1,N,CB)
+        row_i = Gi_ref[f, pl.ds(i, 1)]
+        col_r = Gtr_ref[f, pl.ds(i, 1)]
+        col_i = Gti_ref[f, pl.ds(i, 1)]
+        gii_r = jnp.sum(row_r * onehot_j, axis=1, keepdims=True)  # (1,1,CB)
+        gii_i = jnp.sum(row_i * onehot_j, axis=1, keepdims=True)
+        delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0          # real (1,1,CB)
+        r_r = 1.0 + delta * (1.0 - gii_r)
+        r_i = -delta * gii_i
+        rows_r.append(row_r); rows_i.append(row_i)
+        cols_r.append(col_r); cols_i.append(col_i)
+        deltas.append(delta); den_r.append(r_r); den_i.append(r_i)
+        if pr is None:
+            pr, pi = r_r, r_i
+        else:
+            pr, pi = pr * r_r - pi * r_i, pr * r_i + pi * r_r
+    if det_power == 2:
+        dre, dim_ = pr * pr - pi * pi, 2.0 * pr * pi
+    else:
+        dre, dim_ = pr, pi
+    w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+    # Metropolis weight = REAL part (reference: p = real(...), DQMC.jl:554);
+    # the imaginary part goes out through dim_ for the phase-problem stats
+    accept = u_i < w * dre                                    # (1,1,CB)
+
+    for f in range(F):
+        denom = den_r[f] * den_r[f] + den_i[f] * den_i[f]
+        inv = 1.0 / denom
+        x_r = jnp.where(accept, deltas[f] * den_r[f] * inv,
+                        jnp.zeros_like(denom))                # (1,1,CB)
+        x_i = jnp.where(accept, -(deltas[f] * den_i[f] * inv),
+                        jnp.zeros_like(denom))
+        IG_r = onehot_j - cols_r[f]                           # (1,N,CB)
+        IG_i = -cols_i[f]
+        y_r = x_r * IG_r - x_i * IG_i                         # (1,N,CB)
+        y_i = x_r * IG_i + x_i * IG_r
+        yo_r = jnp.swapaxes(y_r, 0, 1)                        # (N,1,CB)
+        yo_i = jnp.swapaxes(y_i, 0, 1)
+        rr, ri = rows_r[f], rows_i[f]                         # (1,N,CB)
+        # G[a,b] -= y[a]·row[b] (complex outer product, two planes)
+        Gr_ref[f] = Gr_ref[f] - (yo_r * rr - yo_i * ri)
+        Gi_ref[f] = Gi_ref[f] - (yo_r * ri + yo_i * rr)
+        # transpose copy: Gt[b,a] -= row[b]·y[a]
+        ro_r = jnp.swapaxes(rr, 0, 1)                         # (N,1,CB)
+        ro_i = jnp.swapaxes(ri, 0, 1)
+        Gtr_ref[f] = Gtr_ref[f] - (ro_r * y_r - ro_i * y_i)
+        Gti_ref[f] = Gti_ref[f] - (ro_r * y_i + ro_i * y_r)
+
+    flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+    sigma_ref[pl.ds(i, 1)] = s * flip
+    one = jnp.ones_like(s)
+    zero = jnp.zeros_like(s)
+    acc_ref[pl.ds(i, 1)] = jnp.where(accept, one, zero)
+    dre_ref[pl.ds(i, 1)] = dre
+    dim_ref[pl.ds(i, 1)] = dim_
+
+
+# 6 resident big blocks (Gr/Gi in + out + scratch transposes); same scoped
+# budget as the site-major kernel
+def _cx_chunk(N, F):
+    """Largest chain-batch chunk whose 6 (F,N,N,c) f32 blocks fit VMEM:
+    a 128-multiple if one fits (lane-tileable), else a full-array block."""
+    per = 6 * F * N * N * 4
+    for c in (256, 128):
+        if c * per <= _SITEMAJOR_VMEM_BUDGET:
+            return c
+    c = _SITEMAJOR_VMEM_BUDGET // per
+    return max(8, min(128, (c // 8) * 8))
+
+
+def _site_sweep_batched_cx(G, sigma, u, *, lamb, signs, det_power, use_boson):
+    """Batched fused sweep, complex64. G: (C,F,N,N) c64, sigma: (C,N) int,
+    u: (C,N) f32. Returns (G, sigma, accept (C,N) bool, det (C,N) c64).
+    The caller is responsible for chunking C to `_cx_chunk` (the custom_vmap
+    wrapper below does)."""
+    C, F, N, _ = G.shape
+    CB = C
+    for cb in (256, 128):
+        if C % cb == 0 and 6 * F * N * N * cb * 4 <= _SITEMAJOR_VMEM_BUDGET:
+            CB = cb
+            break
+    kern = functools.partial(_cx_kernel, float(lamb), tuple(signs),
+                             int(det_power), bool(use_boson), N, F, CB)
+    interpret = jax.default_backend() == "cpu"
+    Gr = jnp.transpose(jnp.real(G).astype(jnp.float32), (1, 2, 3, 0))
+    Gi = jnp.transpose(jnp.imag(G).astype(jnp.float32), (1, 2, 3, 0))
+    sig = jnp.transpose(sigma.astype(jnp.float32), (1, 0))[:, None, :]
+    uk = jnp.transpose(u.astype(jnp.float32), (1, 0))[:, None, :]
+    i32 = jnp.int32
+    bigspec = pl.BlockSpec((F, N, N, CB),
+                           lambda cb, i: (i32(0), i32(0), i32(0), cb))
+    rowspec = pl.BlockSpec((N, 1, CB), lambda cb, i: (i32(0), i32(0), cb))
+    vec_shape = jax.ShapeDtypeStruct((N, 1, C), jnp.float32)
+    big_shape = jax.ShapeDtypeStruct((F, N, N, C), jnp.float32)
+    outs = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=(C // CB, N),
+        in_specs=[rowspec, rowspec, bigspec, bigspec],
+        out_specs=[rowspec, bigspec, bigspec, rowspec, rowspec, rowspec],
+        out_shape=[vec_shape, big_shape, big_shape,
+                   vec_shape, vec_shape, vec_shape],
+        scratch_shapes=[pltpu.VMEM((F, N, N, CB), jnp.float32),
+                        pltpu.VMEM((F, N, N, CB), jnp.float32)],
+    )(uk, sig, Gr, Gi)
+    sig_out, Gr_out, Gi_out, accv, drev, dimv = outs
+    tr = lambda a: jnp.transpose(a, (3, 0, 1, 2))
+    G_new = (tr(Gr_out) + 1j * tr(Gi_out)).astype(G.dtype)
+    sigma_new = sig_out[:, 0, :].T.astype(sigma.dtype)
+    accept = accv[:, 0, :].T > 0.5                            # (C,N) bool
+    det = (drev[:, 0, :].T + 1j * dimv[:, 0, :].T).astype(jnp.complex64)
+    return G_new, sigma_new, accept, det
+
+
+def complex_supported(N, F) -> bool:
+    """Complex kernel eligibility: lane-tileable N <= 128 AND the in-kernel
+    scratch transposes pass the cached Mosaic compile probe (there is no
+    materialized fallback for the complex variant — the XLA path stays)."""
+    if not HAVE_PALLAS or not (N % 8 == 0 and 8 <= N <= 128):
+        return False
+    return _gt_scratch_ok("batched_cx", N, F)
+
+
 _FUSED_CACHE = {}
+
+
+def get_fused_site_sweep_cx(*, lamb, signs, det_power, use_boson):
+    """Complex-session counterpart of get_fused_site_sweep: per-chain call
+    `fn(G (F,N,N) c64, sigma (N,), u (N,)) -> (G, sigma, accept (N,),
+    det (N,) c64)` whose vmap rule runs the chain batch through VMEM-sized
+    Pallas chunks."""
+    key = ("cx", float(lamb), tuple(signs), int(det_power), bool(use_boson))
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+    kw = dict(lamb=lamb, signs=signs, det_power=det_power, use_boson=use_boson)
+
+    @custom_vmap
+    def fused(G, sigma, u):
+        Gb, sb, accb, detb = _site_sweep_batched_cx(G[None], sigma[None],
+                                                    u[None], **kw)
+        return Gb[0], sb[0], accb[0], detb[0]
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, G, sigma, u):
+        assert all(in_batched), "fused site sweep expects all args batched"
+        step = _cx_chunk(G.shape[-1], G.shape[1])
+        from .pallas_util import map_lane_chunks
+        out = map_lane_chunks(
+            lambda g, s, uu: _site_sweep_batched_cx(g, s, uu, **kw),
+            G, sigma, u, step=step)
+        return out, (True, True, True, True)
+
+    _FUSED_CACHE[key] = fused
+    return fused
 
 
 def get_fused_site_sweep(*, lamb, signs, det_power, use_boson):

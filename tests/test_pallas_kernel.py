@@ -71,6 +71,68 @@ def test_sitemajor_matches_xla_sweep(model_cls):
     assert np.array_equal(np.asarray(acc), np.asarray(lsr["acc"]))
 
 
+def test_complex_kernel_matches_xla_sweep():
+    """The two-plane complex64 kernel (Peierls sessions) must reproduce the
+    XLA complex site loop: same Markov decisions, same G, and the SAME
+    local-stats bundle (phase product, imag/neg magnitude stats) — the
+    complex kernel emits per-site detratios and the stats are rebuilt
+    order-independently outside (core._track_detratio_batch)."""
+    import dataclasses
+    N = 8
+    rng = np.random.default_rng(5)
+    theta = rng.normal(size=(N, N))
+    theta = theta - theta.T            # generic (non-pure-gauge) flux
+    model = HubbardModelAttractive(dims=1, L=N, U=4.0, mu=0.15,
+                                   peierls=theta)
+    params = DQMCParameters(beta=1.0, delta_tau=0.1)
+    ctx, consts = core.make_context(model, params, dtype=jnp.float32,
+                                    use_pallas=True)
+    assert ctx.use_pallas and ctx.is_complex
+    ctx_xla = dataclasses.replace(ctx, use_pallas=False)
+    C, F = 3, ctx.F
+    G = jnp.asarray(rng.normal(size=(C, F, N, N)) * 0.2
+                    + 1j * rng.normal(size=(C, F, N, N)) * 0.1
+                    + 0.5 * np.eye(N), jnp.complex64)
+    sigma = jnp.asarray(rng.choice([-1, 1], size=(C, N)), jnp.int8)
+    u = jnp.asarray(rng.uniform(size=(C, N)), jnp.float32)
+
+    run = lambda c: jax.vmap(lambda g, s, uu: core.sweep_slice(
+        c, g, s, uu, core.init_local_stats(c)))(G, sigma, u)
+    G2, s2, ls2 = run(ctx)
+    Gr, sr, lsr = run(ctx_xla)
+    assert np.max(np.abs(np.asarray(G2 - Gr))) < 1e-4
+    assert np.array_equal(np.asarray(s2), np.asarray(sr))
+    assert np.array_equal(np.asarray(ls2["acc"]), np.asarray(lsr["acc"]))
+    assert np.array_equal(np.asarray(ls2["nneg"]), np.asarray(lsr["nneg"]))
+    np.testing.assert_allclose(np.asarray(ls2["phase"]),
+                               np.asarray(lsr["phase"]), atol=1e-5)
+    assert np.array_equal(np.asarray(ls2["imag_count"]),
+                          np.asarray(lsr["imag_count"]))
+    for k in ("neg_min", "neg_max", "neg_sum",
+              "imag_min", "imag_max", "imag_sum"):
+        np.testing.assert_allclose(np.asarray(ls2[k]), np.asarray(lsr[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_complex_kernel_in_full_sweep_pair():
+    """End-to-end: a complex64 session with use_pallas=True must run
+    sweep_pair and keep the gauge-invariant physics of the pure-gauge case
+    (detratio real, occupation from the real model's chain)."""
+    N = 8
+    phis = np.linspace(0.0, 1.4, N)
+    theta = phis[:, None] - phis[None, :]
+    model = HubbardModelAttractive(dims=1, L=N, U=4.0, mu=0.0,
+                                   peierls=theta)
+    mc_cx = DQMC(model, beta=1.0, delta_tau=0.1, n_chains=8, seed=3,
+                 sweeps=40, thermalization=20, dtype=jnp.float32,
+                 use_pallas=True)
+    assert mc_cx.ctx.use_pallas
+    mc_cx.run(verbose=False)
+    occ = np.mean(np.asarray(mc_cx.observables()["occ"]["occ"].mean))
+    # half filling by particle-hole symmetry (mu=0, pure gauge)
+    assert abs(occ - 0.5) < 0.05
+
+
 def test_sitemajor_block_pick():
     # 3-block (scratch-Gt) budget: the default when the in-kernel transpose
     # compiles; 4-block is the materialized-Gt fallback
