@@ -200,6 +200,152 @@ def _blocked_kernel(N, CB, KB, At_in, At_ref, Q_ref):
     block_apply(Q_ref, False)
 
 
+def _qr_kernel_cx(N, CB, Ar_in, Ai_in, Ar_ref, Ai_ref, Qr_ref, Qi_ref):
+    """Complex64 Householder QR on two f32 planes (re, im), one grid step =
+    one column j (grid = (n_cb, N)). Same layout discipline as `_qr_kernel`:
+    A transposed in VMEM as At = (col, row, CB), chains on lanes.
+
+    Complex reflector (LAPACK zgeqrf convention up to the diagonal phase —
+    downstream udt_dirty takes |R_jj|, so the phase is free):
+      alpha = x_j, phase = alpha/|alpha| (1 if alpha = 0),
+      v = x·tail + (alpha + phase·||x||)·e_j,   tau = 2/(v†v) (real),
+      H = I − tau·v·v†,   H·x = −phase·||x||·e_j.
+    Trailing columns: a ← a − tau·(v†a)·v; Q ← Q·H: Q[r] ← Q[r] −
+    tau·(Q[r]·v)·v̄ (note the conjugations — v†a contracts conj(v), the Q
+    update spreads conj(v))."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        Ar_ref[...] = Ar_in[...]
+        Ai_ref[...] = Ai_in[...]
+        row_ids = lax.broadcasted_iota(jnp.int32, (N, N, 1), 0)
+        col_ids = lax.broadcasted_iota(jnp.int32, (N, N, 1), 1)
+        eye = jnp.where(row_ids == col_ids, jnp.float32(1.0),
+                        jnp.float32(0.0))
+        Qr_ref[...] = jnp.broadcast_to(eye, (N, N, CB))
+        Qi_ref[...] = jnp.zeros((N, N, CB), jnp.float32)
+
+    x_r = Ar_ref[pl.ds(j, 1)]                                   # (1,N,CB)
+    x_i = Ai_ref[pl.ds(j, 1)]
+    r_ids = lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    onehot_j = jnp.where(r_ids == j, jnp.float32(1.0), jnp.float32(0.0))
+    tail = jnp.where(r_ids > j, jnp.float32(1.0), jnp.float32(0.0))
+
+    al_r = jnp.sum(x_r * onehot_j, axis=1, keepdims=True)       # (1,1,CB)
+    al_i = jnp.sum(x_i * onehot_j, axis=1, keepdims=True)
+    sigma = jnp.sum((x_r * x_r + x_i * x_i) * tail, axis=1,
+                    keepdims=True)                              # (1,1,CB)
+    amag2 = al_r * al_r + al_i * al_i
+    normx = jnp.sqrt(amag2 + sigma)
+    amag = jnp.sqrt(amag2)
+    # phase of alpha; alpha = 0 → phase 1 (real-positive convention)
+    safe = amag > 0
+    ph_r = jnp.where(safe, al_r / jnp.where(safe, amag, 1.0),
+                     jnp.ones_like(amag))
+    ph_i = jnp.where(safe, al_i / jnp.where(safe, amag, 1.0),
+                     jnp.zeros_like(amag))
+    vj_r = al_r + ph_r * normx
+    vj_i = al_i + ph_i * normx
+    v_r = x_r * tail + vj_r * onehot_j                          # (1,N,CB)
+    v_i = x_i * tail + vj_i * onehot_j
+    vtv = sigma + vj_r * vj_r + vj_i * vj_i                     # real
+    tau = jnp.where(vtv > 0, 2.0 / vtv, jnp.float32(0.0))       # (1,1,CB)
+
+    # trailing-column update: w_k = v†·A[:,k] (conj on v), A[:,k] -= tau·w_k·v
+    Ar = Ar_ref[...]
+    Ai = Ai_ref[...]
+    w_r = jnp.sum(Ar * v_r + Ai * v_i, axis=1, keepdims=True)   # (N,1,CB)
+    w_i = jnp.sum(Ai * v_r - Ar * v_i, axis=1, keepdims=True)
+    # fold tau into w BEFORE the product with v: w ~ ||v||² can reach ~1e30
+    # on prescaled graded columns, so w·v overflows f32 while (tau·w)·v is
+    # O(||x||) — same ordering as the real kernel
+    tw_r = tau * w_r
+    tw_i = tau * w_i
+    Ar_ref[...] = Ar - (tw_r * v_r - tw_i * v_i)
+    Ai_ref[...] = Ai - (tw_r * v_i + tw_i * v_r)
+    # exact finalize of column j: zeros below the pivot, R_jj = -phase·||x||
+    keep = 1.0 - tail - onehot_j
+    Ar_ref[pl.ds(j, 1)] = x_r * keep + (-(ph_r * normx)) * onehot_j
+    Ai_ref[pl.ds(j, 1)] = x_i * keep + (-(ph_i * normx)) * onehot_j
+
+    # Q ← Q·H: qw = Q·v (plain product), Q[r,c] -= tau·qw_r·conj(v)_c
+    Qr = Qr_ref[...]
+    Qi = Qi_ref[...]
+    qw_r = jnp.sum(Qr * v_r - Qi * v_i, axis=1, keepdims=True)  # (N,1,CB)
+    qw_i = jnp.sum(Qr * v_i + Qi * v_r, axis=1, keepdims=True)
+    tqw_r = tau * qw_r
+    tqw_i = tau * qw_i
+    Qr_ref[...] = Qr - (tqw_r * v_r + tqw_i * v_i)
+    Qi_ref[...] = Qi - (tqw_i * v_r - tqw_r * v_i)
+
+
+# 6 resident (N,N,CB) f32 blocks for the complex kernel (At re/im in+out
+# shared via aliasing? no — separate in/out like the real kernel: 2 in +
+# 4 out); conservative scoped budget as elsewhere
+_CX_QR_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _cx_qr_chunk(N):
+    per = 6 * N * N * 4
+    for c in (256, 128):
+        if c * per <= _CX_QR_VMEM_BUDGET:
+            return c
+    c = _CX_QR_VMEM_BUDGET // per
+    return max(8, min(128, (c // 8) * 8))
+
+
+def _qr_batched_cx(A):
+    """Householder QR of complex64 A (B, N, N) → (Q, R), via the two-plane
+    kernel. The caller chunks B to `_cx_qr_chunk`."""
+    B, N, _ = A.shape
+    CB = B
+    for cb in (256, 128):
+        if B % cb == 0 and 6 * N * N * cb * 4 <= _CX_QR_VMEM_BUDGET:
+            CB = cb
+            break
+    interpret = jax.default_backend() == "cpu"
+    Ar = jnp.transpose(jnp.real(A).astype(jnp.float32), (2, 1, 0))
+    Ai = jnp.transpose(jnp.imag(A).astype(jnp.float32), (2, 1, 0))
+    i32 = jnp.int32
+    spec = pl.BlockSpec((N, N, CB), lambda cb, j: (i32(0), i32(0), cb))
+    shape = jax.ShapeDtypeStruct((N, N, B), jnp.float32)
+    Ar_o, Ai_o, Qr_o, Qi_o = pl.pallas_call(
+        functools.partial(_qr_kernel_cx, N, CB),
+        interpret=interpret,
+        grid=(B // CB, N),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec, spec, spec],
+        out_shape=[shape, shape, shape, shape],
+    )(Ar, Ai)
+    R = jnp.transpose(Ar_o + 1j * Ai_o, (2, 1, 0)).astype(jnp.complex64)
+    Q = jnp.transpose(Qr_o + 1j * Qi_o, (2, 0, 1)).astype(jnp.complex64)
+    return Q, R
+
+
+def qr_lanes_cx():
+    """Complex64 counterpart of qr_lanes (folds leading axes into the lane
+    batch, chunked to the VMEM budget)."""
+    if "fn_cx" in _QR_CACHE:
+        return _QR_CACHE["fn_cx"]
+
+    @custom_vmap
+    def qr(A):
+        lead = A.shape[:-2]
+        N = A.shape[-1]
+        Af = A.reshape((-1, N, N))
+        from .pallas_util import map_lane_chunks
+        Q, R = map_lane_chunks(_qr_batched_cx, Af, step=_cx_qr_chunk(N))
+        return Q.reshape(lead + (N, N)), R.reshape(lead + (N, N))
+
+    @qr.def_vmap
+    def _rule(axis_size, in_batched, A):
+        return qr(A), (True, True)
+
+    _QR_CACHE["fn_cx"] = qr
+    return qr
+
+
 from .pallas_util import pick_lane_block as _pick_chain_block
 
 
@@ -286,8 +432,10 @@ def qr_supported(A) -> bool:
 
     N is capped at 128: measured on v5e, the kernel beats XLA's QR by 1.8x
     (N=64) to 3.5x (N=128), but at N=256 the full-matrix VMEM residency is
-    gone (chain blocks stream) and XLA wins."""
-    if not HAVE_PALLAS or A.dtype != jnp.float32:
+    gone (chain blocks stream) and XLA wins.
+
+    complex64 routes to the two-plane kernel under the same N cap."""
+    if not HAVE_PALLAS or A.dtype not in (jnp.float32, jnp.complex64):
         return False
     N = A.shape[-1]
     return (A.ndim >= 2 and A.shape[-2] == N
@@ -306,8 +454,10 @@ def enabled() -> bool:
 
 
 def maybe_qr(A):
-    """Drop-in for jnp.linalg.qr(A) routing lane-tileable f32 batches to the
-    fused kernel on TPU."""
+    """Drop-in for jnp.linalg.qr(A) routing lane-tileable f32/complex64
+    batches to the fused kernels on TPU."""
     if enabled() and qr_supported(A):
+        if A.dtype == jnp.complex64:
+            return qr_lanes_cx()(A)
         return qr_lanes()(A)
     return jnp.linalg.qr(A)

@@ -163,3 +163,66 @@ def test_udt_dirty_contract_with_kernel():
     np.testing.assert_allclose(np.asarray(D), np.asarray(D2), rtol=2e-4)
     np.testing.assert_allclose(np.abs(np.asarray(R)), np.abs(np.asarray(R2)),
                                atol=2e-4)
+
+
+def _check_qr_cx(A, rtol=3e-5):
+    Q, R = pallas_qr.qr_lanes_cx()(A)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    scale = np.maximum(1.0, np.max(np.abs(np.asarray(A)), axis=(-2, -1),
+                                   keepdims=True))
+    np.testing.assert_allclose(np.asarray(Q @ R) / scale,
+                               np.asarray(A) / scale, atol=rtol * n)
+    ortho = np.asarray(jnp.swapaxes(Q, -1, -2).conj() @ Q - eye)
+    assert np.max(np.abs(ortho)) < rtol * n, np.max(np.abs(ortho))
+    lower = np.tril(np.asarray(R), -1)
+    assert np.max(np.abs(lower) / scale[..., 0, 0, None, None]) < 1e-6
+
+
+def test_qr_complex_random_batch():
+    key = jax.random.PRNGKey(7)
+    kr, ki = jax.random.split(key)
+    A = (jax.random.normal(kr, (8, 16, 16), jnp.float32)
+         + 1j * jax.random.normal(ki, (8, 16, 16), jnp.float32)
+         ).astype(jnp.complex64)
+    _check_qr_cx(A)
+
+
+def test_qr_complex_graded_columns():
+    key = jax.random.PRNGKey(8)
+    kr, ki = jax.random.split(key)
+    A = (jax.random.normal(kr, (4, 32, 32), jnp.float32)
+         + 1j * jax.random.normal(ki, (4, 32, 32), jnp.float32))
+    A = (A * jnp.exp(jnp.linspace(10.0, -10.0, 32))[None, None, :]
+         ).astype(jnp.complex64)
+    _check_qr_cx(A)
+
+
+def test_qr_complex_zero_imag_matches_real_kernel():
+    """A real matrix pushed through the complex kernel must reproduce the
+    real kernel's Householder choices exactly (phase = sign for real alpha)."""
+    key = jax.random.PRNGKey(9)
+    Ar = jax.random.normal(key, (4, 16, 16), jnp.float32)
+    Q, R = pallas_qr.qr_lanes()(Ar)
+    Qc, Rc = pallas_qr.qr_lanes_cx()(Ar.astype(jnp.complex64))
+    assert np.max(np.abs(np.asarray(Qc) - np.asarray(Q))) < 2e-6
+    assert np.max(np.abs(np.asarray(Rc) - np.asarray(R))) < 2e-5
+
+
+def test_udt_dirty_complex_contract_with_kernel():
+    """udt_dirty on complex64 input through maybe_qr (kernel forced on):
+    reconstruction + D positivity + unit-magnitude dirty diagonal."""
+    key = jax.random.PRNGKey(10)
+    kr, ki = jax.random.split(key)
+    A = (jax.random.normal(kr, (4, 16, 16), jnp.float32)
+         + 1j * jax.random.normal(ki, (4, 16, 16), jnp.float32))
+    A = (A * jnp.exp(jnp.linspace(6.0, -6.0, 16))[None, None, :]
+         ).astype(jnp.complex64)
+    U, D, R, piv = jax.jit(udt_dirty)(A)
+    recon = (U * D[..., None, :]) @ scatter_columns(R, piv)
+    scale = np.max(np.abs(np.asarray(A)))
+    np.testing.assert_allclose(np.asarray(recon) / scale,
+                               np.asarray(A) / scale, atol=5e-5)
+    assert np.all(np.asarray(D) > 0)
+    dd = np.abs(np.diagonal(np.asarray(R), axis1=-2, axis2=-1))
+    np.testing.assert_allclose(dd, 1.0, atol=1e-4)
