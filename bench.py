@@ -222,6 +222,50 @@ def main():
                         "acceptance": round(l_acc, 4)}
         except Exception as err:  # pragma: no cover
             l16_mode = {"error": repr(err)}
+    # complex-hopping (Peierls) mode at the headline config: pure-gauge
+    # complex64 session — exercises the two-plane fused site-sweep + QR
+    # kernels; mean phase must stay 1 (pure gauge). BENCH_CPLX=0 opts out.
+    cplx_mode = None
+    if DTYPE == "float32" and os.environ.get("BENCH_CPLX", "1") == "1":
+        try:
+            _progress("complex (Peierls) mode")
+            import numpy as _np
+            from montecarlo_tpu import HubbardModelAttractive
+            from montecarlo_tpu.dqmc import core as _core
+            from montecarlo_tpu.dqmc.parameters import DQMCParameters
+            _rng = _np.random.default_rng(0)
+            _phis = _rng.uniform(0.0, 2 * _np.pi, L * L)
+            _theta = _phis[:, None] - _phis[None, :]
+            _model = HubbardModelAttractive(dims=2, L=L, U=4.0, mu=0.0,
+                                            peierls=_theta)
+            _params = DQMCParameters(beta=BETA, safe_mult=SAFE_MULT)
+            _ctx, _consts = _core.make_context(_model, _params,
+                                               dtype=jnp.float32,
+                                               use_pallas=USE_PALLAS)
+            _key = jax.random.PRNGKey(0)
+            _conf = _model.rand_conf(_key, N_CHAINS, _params.slices)
+            _keys = jax.random.split(_key, N_CHAINS)
+            _state = jax.jit(jax.vmap(partial(_core.init_state, _ctx,
+                                              _consts)))(_conf, _keys)
+            _sweep = jax.jit(jax.vmap(partial(_core.sweep_pair, _ctx,
+                                              _consts)))
+            _state, _, _ = _sweep(_state)
+            float(jnp.sum(jnp.real(_state["G"])))
+            _t0 = time.time()
+            for _ in range(2):
+                _state, _, _ = _sweep(_state)
+            float(jnp.sum(jnp.real(_state["G"])))
+            _dt = time.time() - _t0
+            _ph = complex(jnp.mean(_state["ls_phase"]))
+            cplx_mode = {
+                "use_pallas": bool(_ctx.use_pallas),
+                "chain_sweeps_per_s": round(N_CHAINS * 2 / _dt, 3),
+                "drift_max": float(jnp.max(_state["prop_err_max"])),
+                "mean_phase_re": round(_ph.real, 5),
+                "mean_phase_im": round(_ph.imag, 5),
+            }
+        except Exception as err:  # pragma: no cover
+            cplx_mode = {"error": repr(err)}
     try:
         _progress("ising")
         ising_flips = bench_ising()
@@ -286,6 +330,8 @@ def main():
         "f64_mode": f64_mode,
         # L=16 / N=256 large-lattice point (site-major Pallas kernel)
         "l16_mode": l16_mode,
+        # complex-hopping (Peierls) point: two-plane fused kernels
+        "complex_mode": cplx_mode,
         "propagation_drift": drift,
         "acceptance": round(acc, 4),
         "sanity_ok": sanity,
