@@ -114,6 +114,38 @@ def test_complex_kernel_matches_xla_sweep():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_complex_kernel_repulsive_f2_matches_xla():
+    """F=2 (repulsive, opposite-sign flavor blocks) through the complex
+    kernel: per-flavor complex rank-1 updates and the flavor-product
+    detratio must match the XLA loop."""
+    import dataclasses
+    N = 8
+    rng = np.random.default_rng(6)
+    theta = rng.normal(size=(N, N))
+    theta = theta - theta.T
+    model = HubbardModelRepulsive(dims=1, L=N, U=4.0, peierls=theta)
+    params = DQMCParameters(beta=1.0, delta_tau=0.1)
+    ctx, consts = core.make_context(model, params, dtype=jnp.float32,
+                                    use_pallas=True)
+    assert ctx.use_pallas and ctx.is_complex and ctx.F == 2
+    ctx_xla = dataclasses.replace(ctx, use_pallas=False)
+    C = 2
+    G = jnp.asarray(rng.normal(size=(C, 2, N, N)) * 0.2
+                    + 1j * rng.normal(size=(C, 2, N, N)) * 0.1
+                    + 0.5 * np.eye(N), jnp.complex64)
+    sigma = jnp.asarray(rng.choice([-1, 1], size=(C, N)), jnp.int8)
+    u = jnp.asarray(rng.uniform(size=(C, N)), jnp.float32)
+    run = lambda c: jax.vmap(lambda g, s, uu: core.sweep_slice(
+        c, g, s, uu, core.init_local_stats(c)))(G, sigma, u)
+    G2, s2, ls2 = run(ctx)
+    Gr, sr, lsr = run(ctx_xla)
+    assert np.max(np.abs(np.asarray(G2 - Gr))) < 1e-4
+    assert np.array_equal(np.asarray(s2), np.asarray(sr))
+    assert np.array_equal(np.asarray(ls2["acc"]), np.asarray(lsr["acc"]))
+    np.testing.assert_allclose(np.asarray(ls2["phase"]),
+                               np.asarray(lsr["phase"]), atol=1e-5)
+
+
 def test_complex_kernel_in_full_sweep_pair():
     """End-to-end: a complex64 session with use_pallas=True must run
     sweep_pair and keep the gauge-invariant physics of the pure-gauge case
