@@ -86,3 +86,22 @@ def test_refresh_survives_checkpoint_roundtrip(tmp_path):
     assert loaded.ctx.g_refresh is True
     assert np.array_equal(np.asarray(loaded.state["conf"]),
                           np.asarray(sim.state["conf"]))
+
+
+def test_refresh_complex_session():
+    """g_refresh (deferred-window exact recomputation) composed with a
+    complex-hopping session: calculate_greens_inv is dtype-generic, and a
+    pure-gauge flux must keep half filling at mu=0."""
+    import numpy as np
+    import montecarlo_tpu as mc
+    N = 4
+    phis = np.linspace(0.0, 1.1, N)
+    theta = phis[:, None] - phis[None, :]
+    model = mc.HubbardModelAttractive(dims=1, L=N, U=4.0, mu=0.0,
+                                      peierls=theta)
+    sim = mc.DQMC(model, beta=1.0, delta_tau=0.1, n_chains=8, seed=4,
+                  sweeps=60, thermalization=30, g_refresh=True)
+    assert sim.ctx.g_refresh and sim.ctx.is_complex
+    sim.run(verbose=False)
+    occ = float(np.mean(np.asarray(sim.observables()["occ"]["occ"].mean)))
+    assert abs(occ - 0.5) < 0.05
