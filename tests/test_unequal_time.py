@@ -169,7 +169,10 @@ def test_public_greens_kl_api():
         Gll = np.asarray(sim.greens(l, l))
         Get = np.asarray(sim.greens(l))
         assert np.max(np.abs(Gll - Get)) < 1e-11, f"l={l}"
-    for k in (3, 11):
-        Gk0 = np.asarray(sim.greens(k, 0))
-        GkM = np.asarray(sim.greens(k, M))
-        assert np.max(np.abs(Gk0 + GkM)) < 1e-11, f"k={k}"
+    # one k suffices: each distinct (k, l) pair is a fresh trace+compile
+    # (k/l are static in greens_kl's scan bounds) — k=11 added 2 compiles
+    # (~8 s of this test) without new coverage beyond k=3
+    k = 3
+    Gk0 = np.asarray(sim.greens(k, 0))
+    GkM = np.asarray(sim.greens(k, M))
+    assert np.max(np.abs(Gk0 + GkM)) < 1e-11, f"k={k}"
