@@ -323,6 +323,30 @@ def _qr_batched_cx(A):
     return Q, R
 
 
+_CX_QR_OK_CACHE = {}
+
+
+def _cx_qr_ok(N) -> bool:
+    """Cached Mosaic compile probe for the two-plane complex kernel: AOT
+    lower+compile the tiny batch once per shape class; on failure the
+    dispatch falls back to XLA's complex QR instead of crashing the session.
+    Override with MC_TPU_CX_QR=0/1."""
+    import os
+    env = os.environ.get("MC_TPU_CX_QR")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    if jax.default_backend() == "cpu":
+        return True  # interpreter mode
+    if N not in _CX_QR_OK_CACHE:
+        try:
+            jax.jit(_qr_batched_cx).lower(
+                jax.ShapeDtypeStruct((8, N, N), jnp.complex64)).compile()
+            _CX_QR_OK_CACHE[N] = True
+        except Exception:  # pragma: no cover
+            _CX_QR_OK_CACHE[N] = False
+    return _CX_QR_OK_CACHE[N]
+
+
 def qr_lanes_cx():
     """Complex64 counterpart of qr_lanes (folds leading axes into the lane
     batch, chunked to the VMEM budget)."""
@@ -458,6 +482,8 @@ def maybe_qr(A):
     batches to the fused kernels on TPU."""
     if enabled() and qr_supported(A):
         if A.dtype == jnp.complex64:
-            return qr_lanes_cx()(A)
+            if _cx_qr_ok(A.shape[-1]):
+                return qr_lanes_cx()(A)
+            return jnp.linalg.qr(A)  # probe failed: XLA complex QR
         return qr_lanes()(A)
     return jnp.linalg.qr(A)
