@@ -158,10 +158,18 @@ def site_sweep_pallas(G, sigma, u, *, lamb, signs, det_power, use_boson):
 
 
 def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
-                    *refs):
-    """One grid step = one site i for one chain block (grid = (n_cb, N)).
+                    *refs, sites_per_step=1):
+    """One grid step = `sites_per_step` consecutive sites for one chain block
+    (grid = (n_cb, N // sites_per_step); default 1 = one site per step).
     sigma_ref (N,1,CB) f32 ±1; G_ref (F,N,N,CB); Gt = swap(-3,-2) of G.
     acc/nneg (N,1,CB) one-shot per-site writes.
+
+    sites_per_step > 1 unrolls the site body inside one grid step, trading
+    program size for the per-grid-step fixed cost (block index recompute +
+    step dispatch). The Markov decisions are identical (each unrolled site
+    reads the refs its predecessor just wrote and the decision quantities
+    are computed op-for-op the same); G itself may differ at fusion-level
+    rounding (~1e-7) where XLA fuses consecutive unrolled updates.
 
     Two Gt modes (picked by a cached Mosaic compile probe, `_gt_scratch_ok`):
       * gt_scratch=True: Gt lives in VMEM scratch, built by an in-kernel
@@ -181,53 +189,56 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
     else:
         (u_ref, s_in, G_in, Gt_in,
          sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref) = refs
-    i = pl.program_id(1)
+    i0 = pl.program_id(1) * sites_per_step
 
-    @pl.when(i == 0)
+    @pl.when(i0 == 0)
     def _init():
         sigma_ref[...] = s_in[...]
         G_ref[...] = G_in[...]
         Gt_ref[...] = (jnp.swapaxes(G_in[...], 1, 2) if gt_scratch
                        else Gt_in[...])
-    s = sigma_ref[pl.ds(i, 1)]                                # (1,1,CB)
-    u_i = u_ref[pl.ds(i, 1)]                                  # (1,1,CB)
-    dEb = jnp.float32(-2.0 * lamb) * s
 
-    onehot_j = jnp.where(
-        lax.broadcasted_iota(jnp.int32, (1, N, 1), 1) == i,
-        jnp.float32(1.0), jnp.float32(0.0))                   # (1,N,1)
+    for di in range(sites_per_step):
+        i = i0 + di
+        s = sigma_ref[pl.ds(i, 1)]                                # (1,1,CB)
+        u_i = u_ref[pl.ds(i, 1)]                                  # (1,1,CB)
+        dEb = jnp.float32(-2.0 * lamb) * s
 
-    rows, cols, giis, deltas, rs = [], [], [], [], []
-    rprod = None
-    for f, sg in enumerate(signs):
-        row = G_ref[f, pl.ds(i, 1)]                           # (1,N,CB)
-        col = Gt_ref[f, pl.ds(i, 1)]                          # (1,N,CB)
-        gii = jnp.sum(row * onehot_j, axis=1, keepdims=True)  # (1,1,CB)
-        delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0
-        r = 1.0 + delta * (1.0 - gii)
-        rows.append(row); cols.append(col)
-        deltas.append(delta); rs.append(r)
-        rprod = r if rprod is None else rprod * r
-    detratio = rprod ** det_power                             # (1,1,CB)
-    w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
-    accept = u_i < w * detratio                               # (1,1,CB)
+        onehot_j = jnp.where(
+            lax.broadcasted_iota(jnp.int32, (1, N, 1), 1) == i,
+            jnp.float32(1.0), jnp.float32(0.0))                   # (1,N,1)
 
-    for f in range(F):
-        x = jnp.where(accept, deltas[f] / rs[f],
-                      jnp.zeros_like(rs[f]))                  # (1,1,CB)
-        IG = onehot_j - cols[f]                               # (1,N,CB)
-        xIG = (x * IG).swapaxes(0, 1)                         # (N,1,CB)
-        rowb = rows[f]                                        # (1,N,CB)
-        G_ref[f] = G_ref[f] - xIG * rowb                      # (N,N,CB)
-        # transpose copy: Gt[b, a] -= row[b] * xIG[a]
-        Gt_ref[f] = Gt_ref[f] - rowb.swapaxes(0, 1) * (x * IG)
+        rows, cols, deltas, rs = [], [], [], []
+        rprod = None
+        for f, sg in enumerate(signs):
+            row = G_ref[f, pl.ds(i, 1)]                           # (1,N,CB)
+            col = Gt_ref[f, pl.ds(i, 1)]                          # (1,N,CB)
+            gii = jnp.sum(row * onehot_j, axis=1, keepdims=True)  # (1,1,CB)
+            delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0
+            r = 1.0 + delta * (1.0 - gii)
+            rows.append(row); cols.append(col)
+            deltas.append(delta); rs.append(r)
+            rprod = r if rprod is None else rprod * r
+        detratio = rprod ** det_power                             # (1,1,CB)
+        w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+        accept = u_i < w * detratio                               # (1,1,CB)
 
-    flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
-    sigma_ref[pl.ds(i, 1)] = s * flip
-    one = jnp.ones_like(s)
-    zero = jnp.zeros_like(s)
-    acc_ref[pl.ds(i, 1)] = jnp.where(accept, one, zero)
-    nneg_ref[pl.ds(i, 1)] = jnp.where(detratio < 0, one, zero)
+        for f in range(F):
+            x = jnp.where(accept, deltas[f] / rs[f],
+                          jnp.zeros_like(rs[f]))                  # (1,1,CB)
+            IG = onehot_j - cols[f]                               # (1,N,CB)
+            xIG = (x * IG).swapaxes(0, 1)                         # (N,1,CB)
+            rowb = rows[f]                                        # (1,N,CB)
+            G_ref[f] = G_ref[f] - xIG * rowb                      # (N,N,CB)
+            # transpose copy: Gt[b, a] -= row[b] * xIG[a]
+            Gt_ref[f] = Gt_ref[f] - rowb.swapaxes(0, 1) * (x * IG)
+
+        flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+        sigma_ref[pl.ds(i, 1)] = s * flip
+        one = jnp.ones_like(s)
+        zero = jnp.zeros_like(s)
+        acc_ref[pl.ds(i, 1)] = jnp.where(accept, one, zero)
+        nneg_ref[pl.ds(i, 1)] = jnp.where(detratio < 0, one, zero)
 
 
 from .pallas_util import pick_lane_block as _pick_chain_block
@@ -482,9 +493,16 @@ def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson,
     scratch = (_force_scratch if _force_scratch is not None
                else _gt_scratch_ok("batched", N, F))
     CB = _pick_chain_block(C)
+    # experimental per-grid-step site unroll (MC_TPU_SITES_PER_STEP, default
+    # 1): identical algebra/rounding, trades program size for per-step fixed
+    # cost; clamp to a divisor of N
+    import os
+    S = max(1, int(os.environ.get("MC_TPU_SITES_PER_STEP", "1")))
+    while S > 1 and N % S:
+        S -= 1
     kern = functools.partial(_batched_kernel, float(lamb), tuple(signs),
                              int(det_power), bool(use_boson), N, F, CB,
-                             scratch)
+                             scratch, sites_per_step=S)
     interpret = jax.default_backend() == "cpu"
     Gk = jnp.transpose(G, (1, 2, 3, 0))                       # (F,N,N,C)
     sig = jnp.transpose(sigma.astype(jnp.float32), (1, 0))[:, None, :]
@@ -512,7 +530,7 @@ def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson,
     outs = pl.pallas_call(
         kern,
         interpret=interpret,
-        grid=(C // CB, N),
+        grid=(C // CB, N // S),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
