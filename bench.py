@@ -165,7 +165,42 @@ def bench_susceptibility():
     return (time.time() - t0) / 16
 
 
+def _backend_watchdog():
+    """The tunneled TPU backend blocks INDEFINITELY in init while the device
+    pool is unavailable (observed: >2 h during round 3). Rather than hang the
+    driver and record nothing, probe device init on a daemon thread and emit
+    a diagnostic JSON line if it does not complete within
+    BENCH_INIT_TIMEOUT_S (default 900 s)."""
+    import threading
+    ok = threading.Event()
+
+    def _init():
+        try:
+            jax.devices()
+            ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+    _progress(f"waiting for backend init (up to {timeout:.0f}s)")
+    t.join(timeout)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
+                      f"{N_CHAINS} chains)",
+            "value": None,
+            "unit": "sweeps/s",
+            "vs_baseline": None,
+            "error": "backend init did not complete within "
+                     f"{timeout:.0f}s — TPU pool unavailable",
+        }))
+        os._exit(0)
+
+
 def main():
+    _backend_watchdog()
     _progress("headline dqmc")
     sweeps_per_s, s_per_sweep, drift, acc = bench_dqmc()
     # drift-proof conservative mode (f32 + safe_mult=1): the anchor whose
