@@ -173,13 +173,14 @@ def _backend_watchdog():
     BENCH_INIT_TIMEOUT_S (default 900 s)."""
     import threading
     ok = threading.Event()
+    err_box = []
 
     def _init():
         try:
             jax.devices()
             ok.set()
-        except Exception:
-            pass
+        except Exception as e:
+            err_box.append(repr(e))
 
     t = threading.Thread(target=_init, daemon=True)
     t.start()
@@ -187,15 +188,21 @@ def _backend_watchdog():
     _progress(f"waiting for backend init (up to {timeout:.0f}s)")
     t.join(timeout)
     if not ok.is_set():
+        if err_box:  # init FAILED fast — report the real exception,
+            msg = f"backend init raised: {err_box[0]}"  # not a fake timeout
+        else:
+            msg = (f"backend init did not complete within {timeout:.0f}s "
+                   "— TPU pool unavailable")
+        # flush=True: os._exit bypasses the stdio flush, and a block-buffered
+        # pipe would otherwise swallow the only record of this run
         print(json.dumps({
             "metric": f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
                       f"{N_CHAINS} chains)",
             "value": None,
             "unit": "sweeps/s",
             "vs_baseline": None,
-            "error": "backend init did not complete within "
-                     f"{timeout:.0f}s — TPU pool unavailable",
-        }))
+            "error": msg,
+        }), flush=True)
         os._exit(0)
 
 
@@ -264,41 +271,13 @@ def main():
     if DTYPE == "float32" and os.environ.get("BENCH_CPLX", "1") == "1":
         try:
             _progress("complex (Peierls) mode")
-            import numpy as _np
-            from montecarlo_tpu import HubbardModelAttractive
-            from montecarlo_tpu.dqmc import core as _core
-            from montecarlo_tpu.dqmc.parameters import DQMCParameters
-            _rng = _np.random.default_rng(0)
-            _phis = _rng.uniform(0.0, 2 * _np.pi, L * L)
-            _theta = _phis[:, None] - _phis[None, :]
-            _model = HubbardModelAttractive(dims=2, L=L, U=4.0, mu=0.0,
-                                            peierls=_theta)
-            _params = DQMCParameters(beta=BETA, safe_mult=SAFE_MULT)
-            _ctx, _consts = _core.make_context(_model, _params,
-                                               dtype=jnp.float32,
-                                               use_pallas=USE_PALLAS)
-            _key = jax.random.PRNGKey(0)
-            _conf = _model.rand_conf(_key, N_CHAINS, _params.slices)
-            _keys = jax.random.split(_key, N_CHAINS)
-            _state = jax.jit(jax.vmap(partial(_core.init_state, _ctx,
-                                              _consts)))(_conf, _keys)
-            _sweep = jax.jit(jax.vmap(partial(_core.sweep_pair, _ctx,
-                                              _consts)))
-            _state, _, _ = _sweep(_state)
-            float(jnp.sum(jnp.real(_state["G"])))
-            _t0 = time.time()
-            for _ in range(2):
-                _state, _, _ = _sweep(_state)
-            float(jnp.sum(jnp.real(_state["G"])))
-            _dt = time.time() - _t0
-            _ph = complex(jnp.mean(_state["ls_phase"]))
-            cplx_mode = {
-                "use_pallas": bool(_ctx.use_pallas),
-                "chain_sweeps_per_s": round(N_CHAINS * 2 / _dt, 3),
-                "drift_max": float(jnp.max(_state["prop_err_max"])),
-                "mean_phase_re": round(_ph.real, 5),
-                "mean_phase_im": round(_ph.imag, 5),
-            }
+            # ONE shared protocol with the standalone script (same session
+            # setup, warmup/host-fetch sync, transfer-safe phase readout)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from benchmarks.complex_bench import run_complex_bench
+            cplx_mode = run_complex_bench(chains=N_CHAINS, L=L, beta=BETA,
+                                          sweeps=2, safe_mult=SAFE_MULT,
+                                          use_pallas=USE_PALLAS)
         except Exception as err:  # pragma: no cover
             cplx_mode = {"error": repr(err)}
     try:

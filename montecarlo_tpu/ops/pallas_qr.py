@@ -280,30 +280,19 @@ def _qr_kernel_cx(N, CB, Ar_in, Ai_in, Ar_ref, Ai_ref, Qr_ref, Qi_ref):
     Qi_ref[...] = Qi - (tqw_i * v_r - tqw_r * v_i)
 
 
-# 6 resident (N,N,CB) f32 blocks for the complex kernel (At re/im in+out
-# shared via aliasing? no — separate in/out like the real kernel: 2 in +
-# 4 out); conservative scoped budget as elsewhere
-_CX_QR_VMEM_BUDGET = 13 * 2 ** 20
-
-
+# 6 resident (N,N,CB) f32 blocks for the complex kernel (At re/im in + out,
+# Q re/im out)
 def _cx_qr_chunk(N):
-    per = 6 * N * N * 4
-    for c in (256, 128):
-        if c * per <= _CX_QR_VMEM_BUDGET:
-            return c
-    c = _CX_QR_VMEM_BUDGET // per
-    return max(8, min(128, (c // 8) * 8))
+    from .pallas_util import pick_vmem_lane_chunk
+    return pick_vmem_lane_chunk(6 * N * N * 4)
 
 
 def _qr_batched_cx(A):
     """Householder QR of complex64 A (B, N, N) → (Q, R), via the two-plane
     kernel. The caller chunks B to `_cx_qr_chunk`."""
     B, N, _ = A.shape
-    CB = B
-    for cb in (256, 128):
-        if B % cb == 0 and 6 * N * N * cb * 4 <= _CX_QR_VMEM_BUDGET:
-            CB = cb
-            break
+    from .pallas_util import pick_vmem_lane_block
+    CB = pick_vmem_lane_block(B, 6 * N * N * 4)
     interpret = jax.default_backend() == "cpu"
     Ar = jnp.transpose(jnp.real(A).astype(jnp.float32), (2, 1, 0))
     Ai = jnp.transpose(jnp.imag(A).astype(jnp.float32), (2, 1, 0))
@@ -339,8 +328,11 @@ def _cx_qr_ok(N) -> bool:
         return True  # interpreter mode
     if N not in _CX_QR_OK_CACHE:
         try:
+            # probe at the PRODUCTION chunk size so the validated Mosaic
+            # shape class is the one that actually executes
             jax.jit(_qr_batched_cx).lower(
-                jax.ShapeDtypeStruct((8, N, N), jnp.complex64)).compile()
+                jax.ShapeDtypeStruct((_cx_qr_chunk(N), N, N),
+                                     jnp.complex64)).compile()
             _CX_QR_OK_CACHE[N] = True
         except Exception:  # pragma: no cover
             _CX_QR_OK_CACHE[N] = False

@@ -374,7 +374,10 @@ def _gt_scratch_ok(variant, N, F):
                   det_power=2 // F, use_boson=False)
         gdtype = jnp.float32
         if variant == "batched_cx":
-            C = 8
+            # probe at the PRODUCTION chunk size — a probe at a smaller lane
+            # block would validate a different Mosaic shape class than what
+            # actually executes
+            C = _cx_chunk(N, F)
             gdtype = jnp.complex64
             fn = functools.partial(_site_sweep_batched_cx, **kw)
         elif variant == "batched":
@@ -658,17 +661,11 @@ def _cx_kernel(lamb, signs, det_power, use_boson, N, F, CB, *refs):
     dim_ref[pl.ds(i, 1)] = dim_
 
 
-# 6 resident big blocks (Gr/Gi in + out + scratch transposes); same scoped
-# budget as the site-major kernel
+# 6 resident big blocks (Gr/Gi in + out + scratch transposes)
 def _cx_chunk(N, F):
-    """Largest chain-batch chunk whose 6 (F,N,N,c) f32 blocks fit VMEM:
-    a 128-multiple if one fits (lane-tileable), else a full-array block."""
-    per = 6 * F * N * N * 4
-    for c in (256, 128):
-        if c * per <= _SITEMAJOR_VMEM_BUDGET:
-            return c
-    c = _SITEMAJOR_VMEM_BUDGET // per
-    return max(8, min(128, (c // 8) * 8))
+    """Largest chain-batch chunk whose 6 (F,N,N,c) f32 blocks fit VMEM."""
+    from .pallas_util import pick_vmem_lane_chunk
+    return pick_vmem_lane_chunk(6 * F * N * N * 4)
 
 
 def _site_sweep_batched_cx(G, sigma, u, *, lamb, signs, det_power, use_boson):
@@ -677,11 +674,8 @@ def _site_sweep_batched_cx(G, sigma, u, *, lamb, signs, det_power, use_boson):
     The caller is responsible for chunking C to `_cx_chunk` (the custom_vmap
     wrapper below does)."""
     C, F, N, _ = G.shape
-    CB = C
-    for cb in (256, 128):
-        if C % cb == 0 and 6 * F * N * N * cb * 4 <= _SITEMAJOR_VMEM_BUDGET:
-            CB = cb
-            break
+    from .pallas_util import pick_vmem_lane_block
+    CB = pick_vmem_lane_block(C, 6 * F * N * N * 4)
     kern = functools.partial(_cx_kernel, float(lamb), tuple(signs),
                              int(det_power), bool(use_boson), N, F, CB)
     interpret = jax.default_backend() == "cpu"

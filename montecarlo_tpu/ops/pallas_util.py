@@ -14,6 +14,34 @@ import jax.numpy as jnp
 
 LANE_CHUNK = 256
 
+# conservative scoped-VMEM budget for resident kernel blocks (vs the 16 MB
+# v5e limit, leaving room for the small row/vector buffers)
+VMEM_BUDGET = 13 * 2 ** 20
+
+
+def pick_vmem_lane_chunk(per_lane_bytes: int,
+                         budget: int = VMEM_BUDGET) -> int:
+    """Chunk step for a lane-batched kernel whose resident VMEM scales as
+    per_lane_bytes per lane: the largest of (256, 128) that fits the budget,
+    else the largest 8-aligned count <= 128 that does (a full-array block of
+    any size is legal when it is not a 128-multiple)."""
+    for c in (256, 128):
+        if c * per_lane_bytes <= budget:
+            return c
+    c = budget // per_lane_bytes
+    return max(8, min(128, (c // 8) * 8))
+
+
+def pick_vmem_lane_block(B: int, per_lane_bytes: int,
+                         budget: int = VMEM_BUDGET) -> int:
+    """Lane BLOCK for an already-chunked batch B under the same budget: a
+    128-multiple divisor of B if one fits, else the full batch (block ==
+    array dim is always legal)."""
+    for cb in (256, 128):
+        if B % cb == 0 and cb * per_lane_bytes <= budget:
+            return cb
+    return B
+
 
 def pick_lane_block(B: int) -> int:
     """Largest valid lane block for a batch of B chains: a 128-multiple
