@@ -380,6 +380,12 @@ def _gt_scratch_ok(variant, N, F):
             C = _cx_chunk(N, F)
             gdtype = jnp.complex64
             fn = functools.partial(_site_sweep_batched_cx, **kw)
+        elif variant == "sitemajor_cx":
+            # probe at the production chain block (largest CB a big batch
+            # would select), not a fixed CB=8
+            C = _pick_sublane_block(256, N, F, n_blocks=6)
+            gdtype = jnp.complex64
+            fn = functools.partial(_site_sweep_sitemajor_cx, force_cb=C, **kw)
         elif variant == "batched":
             C = 128
             fn = functools.partial(_site_sweep_batched,
@@ -672,8 +678,12 @@ def _site_sweep_batched_cx(G, sigma, u, *, lamb, signs, det_power, use_boson):
     """Batched fused sweep, complex64. G: (C,F,N,N) c64, sigma: (C,N) int,
     u: (C,N) f32. Returns (G, sigma, accept (C,N) bool, det (C,N) c64).
     The caller is responsible for chunking C to `_cx_chunk` (the custom_vmap
-    wrapper below does)."""
+    wrapper below does). N > 128 dispatches to the site-major variant."""
     C, F, N, _ = G.shape
+    if N > 128:
+        return _site_sweep_sitemajor_cx(G, sigma, u, lamb=lamb, signs=signs,
+                                        det_power=det_power,
+                                        use_boson=use_boson)
     from .pallas_util import pick_vmem_lane_block
     CB = pick_vmem_lane_block(C, 6 * F * N * N * 4)
     kern = functools.partial(_cx_kernel, float(lamb), tuple(signs),
@@ -709,13 +719,160 @@ def _site_sweep_batched_cx(G, sigma, u, *, lamb, signs, det_power, use_boson):
     return G_new, sigma_new, accept, det
 
 
+def _sitemajor_kernel_cx(lamb, signs, det_power, use_boson, N, F, CB, *refs):
+    """Site-major complex64 variant (N > 128): chains on the SUBLANES, full
+    site axis on the lanes, two f32 planes per block, transposes in scratch
+    (6 resident (F,N,CB,N) blocks — N=256/F=1 fits at CB=8). Same contract
+    as `_cx_kernel`: per-site detratio + accept emitted for the host-side
+    statistics."""
+    (u_ref, s_in, Gr_in, Gi_in,
+     sigma_ref, Gr_ref, Gi_ref, acc_ref, dre_ref, dim_ref,
+     Gtr_ref, Gti_ref) = refs
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        sigma_ref[...] = s_in[...]
+        Gr_ref[...] = Gr_in[...]
+        Gi_ref[...] = Gi_in[...]
+        Gtr_ref[...] = jnp.swapaxes(Gr_in[...], 1, 3)
+        Gti_ref[...] = jnp.swapaxes(Gi_in[...], 1, 3)
+
+    s = sigma_ref[0, pl.ds(i, 1)][None]                       # (1,1,CB) lane
+    u_i = u_ref[0, pl.ds(i, 1)][None]                         # (1,1,CB) lane
+    dEb = jnp.float32(-2.0 * lamb) * s
+
+    onehot = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (1, 1, N), 2) == i,
+        jnp.float32(1.0), jnp.float32(0.0))                   # (1,1,N)
+
+    rows_r, rows_i, colTs_r, colTs_i = [], [], [], []
+    deltas, den_r, den_i = [], [], []
+    pr = pi = None
+    for f, sg in enumerate(signs):
+        row_r = Gr_ref[f, pl.ds(i, 1)]                        # (1,CB,N)
+        row_i = Gi_ref[f, pl.ds(i, 1)]
+        colT_r = Gtr_ref[f, pl.ds(i, 1)]
+        colT_i = Gti_ref[f, pl.ds(i, 1)]
+        gii_r = jnp.swapaxes(jnp.sum(row_r * onehot, axis=2,
+                                     keepdims=True), 1, 2)    # (1,1,CB)
+        gii_i = jnp.swapaxes(jnp.sum(row_i * onehot, axis=2,
+                                     keepdims=True), 1, 2)
+        delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0          # (1,1,CB)
+        r_r = 1.0 + delta * (1.0 - gii_r)
+        r_i = -delta * gii_i
+        rows_r.append(row_r); rows_i.append(row_i)
+        colTs_r.append(colT_r); colTs_i.append(colT_i)
+        deltas.append(delta); den_r.append(r_r); den_i.append(r_i)
+        if pr is None:
+            pr, pi = r_r, r_i
+        else:
+            pr, pi = pr * r_r - pi * r_i, pr * r_i + pi * r_r
+    if det_power == 2:
+        dre, dim_ = pr * pr - pi * pi, 2.0 * pr * pi
+    else:
+        dre, dim_ = pr, pi
+    w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+    accept = u_i < w * dre                                    # (1,1,CB)
+
+    for f in range(F):
+        denom = den_r[f] * den_r[f] + den_i[f] * den_i[f]
+        inv = 1.0 / denom
+        x_r = jnp.where(accept, deltas[f] * den_r[f] * inv,
+                        jnp.zeros_like(denom))                # (1,1,CB)
+        x_i = jnp.where(accept, -(deltas[f] * den_i[f] * inv),
+                        jnp.zeros_like(denom))
+        xs_r = jnp.swapaxes(x_r, 1, 2)                        # (1,CB,1)
+        xs_i = jnp.swapaxes(x_i, 1, 2)
+        IG_r = onehot - colTs_r[f]                            # (1,CB,N)
+        IG_i = -colTs_i[f]
+        y_r = xs_r * IG_r - xs_i * IG_i                       # (1,CB,N)
+        y_i = xs_r * IG_i + xs_i * IG_r
+        yo_r = jnp.swapaxes(y_r, 0, 2)                        # (N,CB,1)
+        yo_i = jnp.swapaxes(y_i, 0, 2)
+        rr, ri = rows_r[f], rows_i[f]                         # (1,CB,N)
+        Gr_ref[f] = Gr_ref[f] - (yo_r * rr - yo_i * ri)
+        Gi_ref[f] = Gi_ref[f] - (yo_r * ri + yo_i * rr)
+        ro_r = jnp.swapaxes(rr, 0, 2)                         # (N,CB,1)
+        ro_i = jnp.swapaxes(ri, 0, 2)
+        Gtr_ref[f] = Gtr_ref[f] - (ro_r * y_r - ro_i * y_i)
+        Gti_ref[f] = Gti_ref[f] - (ro_r * y_i + ro_i * y_r)
+
+    flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+    sigma_ref[0, pl.ds(i, 1)] = (s * flip)[0]
+    one = jnp.ones_like(s[0])
+    zero = jnp.zeros_like(s[0])
+    acc_ref[0, pl.ds(i, 1)] = jnp.where(accept[0], one, zero)
+    dre_ref[0, pl.ds(i, 1)] = dre[0]
+    dim_ref[0, pl.ds(i, 1)] = dim_[0]
+
+
+def _site_sweep_sitemajor_cx(G, sigma, u, *, lamb, signs, det_power,
+                             use_boson, force_cb=None):
+    """Site-major complex sweep for N > 128. Same contract as
+    `_site_sweep_batched_cx`; chains pad to a multiple of the chain block."""
+    C, F, N, _ = G.shape
+    CB = force_cb or _pick_sublane_block(C, N, F, n_blocks=6)
+    if CB is None:
+        raise ValueError(
+            f"site-major complex sweep unsupported at N={N}, F={F}: no "
+            "chain block fits the scoped-VMEM budget — use the XLA site "
+            "loop (make_context's automatic fallback)")
+    pad = (-C) % CB
+    if pad:
+        zpad = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        G, sigma, u = zpad(G), zpad(sigma), zpad(u)
+    Cp = C + pad
+    kern = functools.partial(_sitemajor_kernel_cx, float(lamb), tuple(signs),
+                             int(det_power), bool(use_boson), N, F, CB)
+    interpret = jax.default_backend() == "cpu"
+    Gr = jnp.transpose(jnp.real(G).astype(jnp.float32), (1, 2, 0, 3))
+    Gi = jnp.transpose(jnp.imag(G).astype(jnp.float32), (1, 2, 0, 3))
+    to_blocks = lambda a: jnp.transpose(
+        a.reshape(Cp // CB, CB, N), (0, 2, 1))                # (NB,N,CB)
+    sig = to_blocks(sigma.astype(jnp.float32))
+    uk = to_blocks(u.astype(jnp.float32))
+    i32 = jnp.int32
+    bigspec = pl.BlockSpec((F, N, CB, N),
+                           lambda cb, i: (i32(0), i32(0), cb, i32(0)))
+    rowspec = pl.BlockSpec((1, N, CB), lambda cb, i: (cb, i32(0), i32(0)))
+    vec_shape = jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32)
+    big_shape = jax.ShapeDtypeStruct((F, N, Cp, N), jnp.float32)
+    outs = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=(Cp // CB, N),
+        in_specs=[rowspec, rowspec, bigspec, bigspec],
+        out_specs=[rowspec, bigspec, bigspec, rowspec, rowspec, rowspec],
+        out_shape=[vec_shape, big_shape, big_shape,
+                   vec_shape, vec_shape, vec_shape],
+        scratch_shapes=[pltpu.VMEM((F, N, CB, N), jnp.float32),
+                        pltpu.VMEM((F, N, CB, N), jnp.float32)],
+    )(uk, sig, Gr, Gi)
+    sig_out, Gr_out, Gi_out, accv, drev, dimv = outs
+    from_blocks = lambda a: jnp.transpose(a, (0, 2, 1)).reshape(Cp, N)[:C]
+    tr = lambda a: jnp.transpose(a, (2, 0, 1, 3))[:C]
+    G_new = (tr(Gr_out) + 1j * tr(Gi_out)).astype(G.dtype)
+    sigma_new = from_blocks(sig_out).astype(sigma.dtype)
+    accept = from_blocks(accv) > 0.5                          # (C,N) bool
+    det = (from_blocks(drev)
+           + 1j * from_blocks(dimv)).astype(jnp.complex64)
+    return G_new, sigma_new, accept, det
+
+
 def complex_supported(N, F) -> bool:
-    """Complex kernel eligibility: lane-tileable N <= 128 AND the in-kernel
-    scratch transposes pass the cached Mosaic compile probe (there is no
-    materialized fallback for the complex variant — the XLA path stays)."""
-    if not HAVE_PALLAS or not (N % 8 == 0 and 8 <= N <= 128):
+    """Complex kernel eligibility: chain-on-lanes two-plane kernel for
+    lane-tileable N <= 128, the site-major two-plane variant beyond (up to
+    the N where even a CB=8 block of its 6 resident planes no longer fits —
+    F=1: N<=~266, F=2: N<=~188); each gated by its cached Mosaic compile
+    probe. No materialized fallback — on probe failure the XLA path stays."""
+    if not HAVE_PALLAS or N % 8 != 0 or N < 8:
         return False
-    return _gt_scratch_ok("batched_cx", N, F)
+    if N <= 128:
+        return _gt_scratch_ok("batched_cx", N, F)
+    if _pick_sublane_block(8, N, F, n_blocks=6) is None:
+        return False
+    return _gt_scratch_ok("sitemajor_cx", N, F)
 
 
 _FUSED_CACHE = {}
@@ -740,7 +897,11 @@ def get_fused_site_sweep_cx(*, lamb, signs, det_power, use_boson):
     @fused.def_vmap
     def _rule(axis_size, in_batched, G, sigma, u):
         assert all(in_batched), "fused site sweep expects all args batched"
-        step = _cx_chunk(G.shape[-1], G.shape[1])
+        N, F = G.shape[-1], G.shape[1]
+        # chain-on-lanes (N <= 128) must chunk the batch to the VMEM budget;
+        # site-major (N > 128) tiles chains on sublanes internally — its
+        # residency is independent of the batch, so one call takes it all
+        step = _cx_chunk(N, F) if N <= 128 else axis_size
         from .pallas_util import map_lane_chunks
         out = map_lane_chunks(
             lambda g, s, uu: _site_sweep_batched_cx(g, s, uu, **kw),

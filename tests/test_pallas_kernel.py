@@ -253,3 +253,40 @@ def test_sites_per_step_unroll_matches(monkeypatch):
     assert np.array_equal(np.asarray(s1), np.asarray(s4))
     assert np.array_equal(np.asarray(a1), np.asarray(a4))
     assert np.max(np.abs(np.asarray(G1 - G4))) < 1e-5
+
+
+def test_sitemajor_complex_matches_xla():
+    """The site-major complex variant (N > 128 Peierls sessions) must match
+    the XLA complex loop: exercised at small N via force_cb (interpreter),
+    covering chain padding (C=3 -> CB=8) and the two-plane layout."""
+    N = 16
+    rng = np.random.default_rng(7)
+    theta = rng.normal(size=(N, N))
+    theta = theta - theta.T
+    model = HubbardModelAttractive(dims=1, L=N, U=4.0, mu=0.15,
+                                   peierls=theta)
+    params = DQMCParameters(beta=1.0, delta_tau=0.1)
+    ctx, consts = core.make_context(model, params, dtype=jnp.float32)
+    C, F = 3, ctx.F
+    G = jnp.asarray(rng.normal(size=(C, F, N, N)) * 0.2
+                    + 1j * rng.normal(size=(C, F, N, N)) * 0.1
+                    + 0.5 * np.eye(N), jnp.complex64)
+    sigma = jnp.asarray(rng.choice([-1, 1], size=(C, N)), jnp.int8)
+    u = jnp.asarray(rng.uniform(size=(C, N)), jnp.float32)
+    kw = dict(lamb=ctx.lamb, signs=ctx.signs, det_power=ctx.det_power,
+              use_boson=ctx.use_boson)
+    G2, s2, accept, det = pss._site_sweep_sitemajor_cx(
+        G, sigma.astype(jnp.int32), u, force_cb=8, **kw)
+    Gr, sr, lsr = jax.vmap(lambda g, s, uu: core.sweep_slice(
+        ctx, g, s, uu, core.init_local_stats(ctx)))(G, sigma, u)
+    assert np.max(np.abs(np.asarray(G2 - Gr))) < 1e-4
+    assert np.array_equal(np.asarray(s2),
+                          np.asarray(sr, dtype=np.int32))
+    assert np.array_equal(np.sum(np.asarray(accept), axis=1),
+                          np.asarray(lsr["acc"]))
+    # per-site detratios feed the host-side stats: spot-check the phase
+    ls0 = core.init_local_stats(ctx)
+    ls0 = jax.vmap(lambda d, a: core._track_detratio_batch(
+        ctx, core.init_local_stats(ctx), d, a))(det, jnp.asarray(accept))
+    np.testing.assert_allclose(np.asarray(ls0["phase"]),
+                               np.asarray(lsr["phase"]), atol=1e-5)
