@@ -290,3 +290,18 @@ def test_sitemajor_complex_matches_xla():
         ctx, core.init_local_stats(ctx), d, a))(det, jnp.asarray(accept))
     np.testing.assert_allclose(np.asarray(ls0["phase"]),
                                np.asarray(lsr["phase"]), atol=1e-5)
+
+
+def test_complex_supported_boundaries():
+    # chain-on-lanes region
+    assert pss.complex_supported(64, 1)
+    assert pss.complex_supported(128, 2)
+    # site-major region: N=144/256 F=1 fit (6 planes at CB=8);
+    # N=256 F=2 does not (25 MB > budget); N=512 never
+    assert pss.complex_supported(144, 1)
+    assert pss.complex_supported(256, 1)
+    assert not pss.complex_supported(256, 2)
+    assert not pss.complex_supported(512, 1)
+    # misaligned or tiny N
+    assert not pss.complex_supported(100, 1)
+    assert not pss.complex_supported(4, 1)
