@@ -774,22 +774,55 @@ def _track_prop_err(ctx, perr, diff):
     return (pem, pec, pes, pen, hist)
 
 
+def _sweep_slice_fused_wrap(ctx, consts, G, sigma, u, ls, direction):
+    """sweep_slice + the slice's wrap in ONE Pallas call (ROADMAP lever 2,
+    MC_TPU_FUSE_WRAP=1): the wrap matmuls run on the MXU inside the kernel
+    while G is still VMEM-resident, removing the per-slice HBM round trip
+    between the site sweep and the wrap."""
+    from ..ops.pallas_site_sweep import get_fused_site_sweep_wrap
+    fused = get_fused_site_sweep_wrap(
+        lamb=ctx.lamb, signs=ctx.signs, det_power=ctx.det_power,
+        use_boson=ctx.use_boson, wrap_dir=direction)
+    if direction > 0:
+        Ml, MrT = consts["eT2_u"], consts["eT2inv_u"].T
+    else:
+        Ml, MrT = consts["eT2inv_u"], consts["eT2_u"].T
+    G2, s2, acc, nneg = fused(G, sigma.astype(jnp.int32), u, Ml, MrT)
+    ls = dict(ls)
+    ls["acc"] = ls["acc"] + acc.astype(jnp.int32)
+    ls["nneg"] = ls["nneg"] + nneg.astype(jnp.int32)
+    return G2, s2.astype(sigma.dtype), ls
+
+
+def _fuse_wrap_enabled(ctx):
+    import os
+    return (os.environ.get("MC_TPU_FUSE_WRAP", "0") == "1"
+            and ctx.use_pallas and not ctx.is_complex and ctx.N <= 128
+            and ctx.delay <= 1)
+
+
 def _scan_slices(ctx, consts, G, conf, key, ls, slice_list, direction):
     """lax.scan over the slices of one segment.
     direction +1: [sweep slice l, wrap up with updated sigma_l]
     direction -1: [wrap down with pre-update sigma_l, sweep slice l]."""
+    fuse = _fuse_wrap_enabled(ctx)
 
     def body(carry, l):
         G, conf, key, ls = carry
         key, sub = jax.random.split(key)
         u = jax.random.uniform(sub, (ctx.N,), ctx.urdtype)
         sigma = conf[:, l]
-        if direction < 0:
-            G = wrap_down(ctx, consts, sigma, G)
-        G, sigma, ls = sweep_slice(ctx, G, sigma, u, ls)
-        conf = conf.at[:, l].set(sigma)
-        if direction > 0:
-            G = wrap_up(ctx, consts, sigma, G)
+        if fuse:
+            G, sigma, ls = _sweep_slice_fused_wrap(ctx, consts, G, sigma, u,
+                                                   ls, direction)
+            conf = conf.at[:, l].set(sigma)
+        else:
+            if direction < 0:
+                G = wrap_down(ctx, consts, sigma, G)
+            G, sigma, ls = sweep_slice(ctx, G, sigma, u, ls)
+            conf = conf.at[:, l].set(sigma)
+            if direction > 0:
+                G = wrap_up(ctx, consts, sigma, G)
         return (G, conf, key, ls), None
 
     (G, conf, key, ls), _ = lax.scan(body, (G, conf, key, ls), slice_list)

@@ -157,8 +157,34 @@ def site_sweep_pallas(G, sigma, u, *, lamb, signs, det_power, use_boson):
 # dynamic slice.
 
 
+def _mxu_wrap_block(Gv, A, Bt, srow_in, scol_in, srow_out, scol_out, N):
+    """s_out ⊙ (A @ (s_in ⊙ Gv) @ B) ⊙ s_out' for one (N, N, CB) flavor
+    block, as 2N in-kernel MXU matmuls: the middle contraction of each
+    product runs per outer row (a 2D (N,N)@(N,CB) dot), with one in-kernel
+    transpose between the two products (the same swapaxes the scratch-Gt
+    probe validates). Bt is B TRANSPOSED (so both dots contract the slice's
+    leading axis). Scales are (N,1,CB) row / (1,N,CB) col vectors or None."""
+    M = Gv
+    if srow_in is not None:
+        M = M * srow_in
+    if scol_in is not None:
+        M = M * scol_in
+    # Z[a] = (M @ B)[a] = Bt @ M[a]
+    Z = jnp.stack([jnp.dot(Bt, M[a], preferred_element_type=jnp.float32)
+                   for a in range(N)])                     # (a, j, CB)
+    Zt = jnp.swapaxes(Z, 0, 1)                             # (j, a, CB)
+    Wt = jnp.stack([jnp.dot(A, Zt[j], preferred_element_type=jnp.float32)
+                    for j in range(N)])                    # (j, i, CB)
+    W = jnp.swapaxes(Wt, 0, 1)                             # (i, j, CB)
+    if srow_out is not None:
+        W = W * srow_out
+    if scol_out is not None:
+        W = W * scol_out
+    return W
+
+
 def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
-                    *refs, sites_per_step=1):
+                    *refs, sites_per_step=1, wrap_dir=0):
     """One grid step = `sites_per_step` consecutive sites for one chain block
     (grid = (n_cb, N // sites_per_step); default 1 = one site per step).
     sigma_ref (N,1,CB) f32 ±1; G_ref (F,N,N,CB); Gt = swap(-3,-2) of G.
@@ -184,19 +210,47 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
     lax.scan body with a lax.cond measurement branch (on-device bias repro:
     occ 0.99 vs 0.50; clean without the cond). The state is copied into the
     output refs at the first site step instead."""
-    if gt_scratch:
+    if wrap_dir:
+        # fused wrap mode (implies the scratch-Gt layout): the slice's wrap
+        # matmuls run INSIDE the kernel via _mxu_wrap_block. Direction +1
+        # wraps up AFTER the last site with the post-update sigma
+        # (G <- eT2 (ev⊙G⊙evinv) eT2inv); direction -1 wraps down BEFORE the
+        # first site with the pre-update sigma
+        # (G <- evinv⊙(eT2inv G eT2)⊙ev). The caller passes the (N, N)
+        # operands Ml = the LEFT matrix of the product and MrT = the RIGHT
+        # matrix TRANSPOSED (so both in-kernel dots contract a slice's
+        # leading axis): (eT2, eT2invᵀ) for +1, (eT2inv, eT2ᵀ) for -1.
+        (u_ref, s_in, G_in, Ml_ref, MrT_ref,
+         sigma_ref, G_ref, acc_ref, nneg_ref, Gt_ref) = refs
+    elif gt_scratch:
         u_ref, s_in, G_in, sigma_ref, G_ref, acc_ref, nneg_ref, Gt_ref = refs
     else:
         (u_ref, s_in, G_in, Gt_in,
          sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref) = refs
     i0 = pl.program_id(1) * sites_per_step
 
+    def _ev_scales(sg, power):
+        # row (N,1,CB) and col (1,N,CB) forms of diag(exp(power·lamb·sg·s))
+        # from the CURRENT sigma_ref
+        sv = sigma_ref[...]                                    # (N,1,CB)
+        ev = jnp.exp(jnp.float32(power * lamb * sg) * sv)
+        return ev, jnp.swapaxes(ev, 0, 1)
+
     @pl.when(i0 == 0)
     def _init():
         sigma_ref[...] = s_in[...]
-        G_ref[...] = G_in[...]
-        Gt_ref[...] = (jnp.swapaxes(G_in[...], 1, 2) if gt_scratch
-                       else Gt_in[...])
+        if wrap_dir < 0:
+            # wrap down first (pre-update sigma; sigma_ref just copied)
+            for f, sg in enumerate(signs):
+                evinv_r, _ = _ev_scales(sg, -1.0)
+                _, ev_c = _ev_scales(sg, +1.0)
+                G_ref[f] = _mxu_wrap_block(
+                    G_in[f], Ml_ref[...], MrT_ref[...],
+                    None, None, evinv_r, ev_c, N)
+        else:
+            G_ref[...] = G_in[...]
+        Gt_ref[...] = (jnp.swapaxes(G_ref[...], 1, 2)
+                       if (gt_scratch or wrap_dir) else Gt_in[...])
 
     for di in range(sites_per_step):
         i = i0 + di
@@ -239,6 +293,18 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
         zero = jnp.zeros_like(s)
         acc_ref[pl.ds(i, 1)] = jnp.where(accept, one, zero)
         nneg_ref[pl.ds(i, 1)] = jnp.where(detratio < 0, one, zero)
+
+    if wrap_dir > 0:
+        @pl.when(i0 == N - sites_per_step)
+        def _wrap_up():
+            # wrap up after the last site (post-update sigma):
+            # G <- eT2 @ (ev ⊙row G ⊙col evinv) @ eT2inv
+            for f, sg in enumerate(signs):
+                ev_r, _ = _ev_scales(sg, +1.0)
+                _, evinv_c = _ev_scales(sg, -1.0)
+                G_ref[f] = _mxu_wrap_block(
+                    G_ref[f], Ml_ref[...], MrT_ref[...],
+                    ev_r, evinv_c, None, None, N)
 
 
 from .pallas_util import pick_lane_block as _pick_chain_block
@@ -489,18 +555,25 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
     return G_new, sigma_new, acc, nneg
 
 
-def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson,
-                        _force_scratch=None):
+def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
+                        det_power, use_boson, _force_scratch=None,
+                        wrap_dir=0):
     """Batched fused sweep. G: (C,F,N,N) f32, sigma: (C,N), u: (C,N).
     Returns (G, sigma, acc (C,), nneg (C,)). Dispatches to the chain-on-lanes
-    kernel for N <= 128 and the site-major kernel beyond."""
+    kernel for N <= 128 and the site-major kernel beyond.
+
+    wrap_dir=+1/-1 fuses the slice's wrap into the kernel (chain-on-lanes,
+    scratch-Gt only): pass Ml/MrT as the (N, N) wrap operands — (eT2,
+    eT2invᵀ) for +1, (eT2inv, eT2ᵀ) for -1 (see _batched_kernel)."""
     C, F, N, _ = G.shape
     if N > 128:
+        assert wrap_dir == 0, "wrap fusion is chain-on-lanes only"
         return _site_sweep_sitemajor(G, sigma, u, lamb=lamb, signs=signs,
                                      det_power=det_power, use_boson=use_boson,
                                      _force_scratch=_force_scratch)
-    scratch = (_force_scratch if _force_scratch is not None
-               else _gt_scratch_ok("batched", N, F))
+    scratch = True if wrap_dir else (
+        _force_scratch if _force_scratch is not None
+        else _gt_scratch_ok("batched", N, F))
     CB = _pick_chain_block(C)
     # experimental per-grid-step site unroll (MC_TPU_SITES_PER_STEP, default
     # 1): identical algebra/rounding, trades program size for per-step fixed
@@ -511,7 +584,7 @@ def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson,
         S -= 1
     kern = functools.partial(_batched_kernel, float(lamb), tuple(signs),
                              int(det_power), bool(use_boson), N, F, CB,
-                             scratch, sites_per_step=S)
+                             scratch, sites_per_step=S, wrap_dir=int(wrap_dir))
     interpret = jax.default_backend() == "cpu"
     Gk = jnp.transpose(G, (1, 2, 3, 0))                       # (F,N,N,C)
     sig = jnp.transpose(sigma.astype(jnp.float32), (1, 0))[:, None, :]
@@ -520,10 +593,15 @@ def _site_sweep_batched(G, sigma, u, *, lamb, signs, det_power, use_boson,
     bigspec = pl.BlockSpec((F, N, N, CB),
                            lambda cb, i: (i32(0), i32(0), i32(0), cb))
     rowspec = pl.BlockSpec((N, 1, CB), lambda cb, i: (i32(0), i32(0), cb))
+    matspec = pl.BlockSpec((N, N), lambda cb, i: (i32(0), i32(0)))
     vec_shape = jax.ShapeDtypeStruct((N, 1, C), jnp.float32)
     big_shape = jax.ShapeDtypeStruct((F, N, N, C), jnp.float32)
     in_specs = [rowspec, rowspec, bigspec]
     operands = [uk, sig, Gk]
+    if wrap_dir:
+        in_specs += [matspec, matspec]
+        operands += [jnp.asarray(Ml, jnp.float32),
+                     jnp.asarray(MrT, jnp.float32)]
     out_specs = [rowspec, bigspec]
     out_shape = [vec_shape, big_shape]
     scratch_shapes = []
@@ -906,6 +984,40 @@ def get_fused_site_sweep_cx(*, lamb, signs, det_power, use_boson):
         out = map_lane_chunks(
             lambda g, s, uu: _site_sweep_batched_cx(g, s, uu, **kw),
             G, sigma, u, step=step)
+        return out, (True, True, True, True)
+
+    _FUSED_CACHE[key] = fused
+    return fused
+
+
+def get_fused_site_sweep_wrap(*, lamb, signs, det_power, use_boson,
+                              wrap_dir):
+    """Wrap-fused variant of get_fused_site_sweep (ROADMAP lever 2): the
+    per-chain call is `fn(G, sigma, u, Ml, MrT)` where Ml/MrT are the
+    direction's (N, N) wrap operands — (eT2, eT2invᵀ) for wrap_dir=+1
+    (wrap-up after the sweep), (eT2inv, eT2ᵀ) for wrap_dir=-1 (wrap-down
+    before it). Enabled via MC_TPU_FUSE_WRAP=1 (core._scan_slices)."""
+    key = ("wrap", float(lamb), tuple(signs), int(det_power),
+           bool(use_boson), int(wrap_dir))
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+    kw = dict(lamb=lamb, signs=signs, det_power=det_power,
+              use_boson=use_boson, wrap_dir=wrap_dir)
+
+    @custom_vmap
+    def fused(G, sigma, u, Ml, MrT):
+        Gb, sb, acc, nneg = _site_sweep_batched(G[None], sigma[None],
+                                                u[None], Ml, MrT, **kw)
+        return Gb[0], sb[0], acc[0], nneg[0]
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, G, sigma, u, Ml, MrT):
+        assert in_batched[:3] == [True, True, True] and \
+            not any(in_batched[3:]), "G/sigma/u batched; Ml/MrT shared"
+        from .pallas_util import map_lane_chunks
+        out = map_lane_chunks(
+            lambda g, s, uu: _site_sweep_batched(g, s, uu, Ml, MrT, **kw),
+            G, sigma, u)
         return out, (True, True, True, True)
 
     _FUSED_CACHE[key] = fused

@@ -305,3 +305,58 @@ def test_complex_supported_boundaries():
     # misaligned or tiny N
     assert not pss.complex_supported(100, 1)
     assert not pss.complex_supported(4, 1)
+
+
+@pytest.mark.parametrize("direction", [+1, -1])
+def test_fused_wrap_matches_separate_wrap(direction):
+    """The in-kernel MXU wrap (MC_TPU_FUSE_WRAP path) must reproduce
+    sweep_slice + wrap_up/wrap_down: identical Markov decisions (the wrap
+    happens outside the accept/reject algebra) and G within matmul-order
+    rounding (the fused form associates eT2 @ (ev*G*evinv) @ eT2inv)."""
+    model = HubbardModelAttractive(dims=2, L=4, U=4.0, mu=0.0)
+    params = DQMCParameters(beta=2.0)
+    ctx, consts = core.make_context(model, params, update_dtype=jnp.float32,
+                                    use_pallas=True)
+    C, N, F = 3, ctx.N, ctx.F
+    rng = np.random.default_rng(3)
+    G = jnp.asarray(rng.normal(size=(C, F, N, N)) * 0.2 + 0.5 * np.eye(N),
+                    jnp.float32)
+    sigma = jnp.asarray(rng.choice([-1, 1], size=(C, N)), jnp.int8)
+    u = jnp.asarray(rng.uniform(size=(C, N)), jnp.float32)
+
+    def reference(g, s, uu, ls):
+        with ctx.matmul_precision():
+            if direction < 0:
+                g = core.wrap_down(ctx, consts, s, g)
+            g, s, ls = core.sweep_slice(ctx, g, s, uu, ls)
+            if direction > 0:
+                g = core.wrap_up(ctx, consts, s, g)
+        return g, s, ls
+
+    Gr, sr, lsr = jax.vmap(lambda g, s, uu: reference(
+        g, s, uu, core.init_local_stats(ctx)))(G, sigma, u)
+
+    def fused(g, s, uu, ls):
+        with ctx.matmul_precision():
+            return core._sweep_slice_fused_wrap(ctx, consts, g, s, uu, ls,
+                                                direction)
+    G2, s2, ls2 = jax.vmap(lambda g, s, uu: fused(
+        g, s, uu, core.init_local_stats(ctx)))(G, sigma, u)
+
+    assert np.array_equal(np.asarray(s2), np.asarray(sr))
+    assert np.array_equal(np.asarray(ls2["acc"]), np.asarray(lsr["acc"]))
+    assert np.max(np.abs(np.asarray(G2 - Gr))) < 2e-5
+
+
+def test_fuse_wrap_end_to_end_half_filling(monkeypatch):
+    """MC_TPU_FUSE_WRAP=1 through the public API: sweep_pair runs the fused
+    kernel for every scanned slice and the physics stays at half filling."""
+    monkeypatch.setenv("MC_TPU_FUSE_WRAP", "1")
+    model = HubbardModelAttractive(dims=2, L=4, U=4.0, mu=0.0)
+    d = DQMC(model, beta=1.0, delta_tau=0.1, n_chains=8, seed=1,
+             sweeps=150, thermalization=80, dtype=jnp.float32,
+             use_pallas=True)
+    assert core._fuse_wrap_enabled(d.ctx)
+    d.run(verbose=False)
+    occ = float(np.mean(np.asarray(d.observables()["occ"]["occ"].mean)))
+    assert abs(occ - 0.5) < 0.03
