@@ -93,7 +93,7 @@ class DQMC:
     """Determinant quantum Monte Carlo over a batch of independent chains."""
 
     def __init__(self, model, n_chains: int = 16, seed: int = 0,
-                 dtype=jnp.float64, update_dtype=None, use_pallas: bool = False,
+                 dtype=jnp.float64, update_dtype=None, use_pallas=None,
                  stab_method: str = "qr", delay: int = None,
                  checkerboard: bool = False, g_refresh: bool = False,
                  measurements: str | Dict = "default",
@@ -102,6 +102,12 @@ class DQMC:
                  last_sweep: int = 0, **params):
         if jnp.dtype(dtype) == jnp.float64 and not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
+        if use_pallas is None:
+            # auto: fused kernels ON for TPU backends (the physics-validated
+            # bench default — eligibility by dtype/size is still filtered in
+            # make_context, and f64 sessions fall through to XLA anyway);
+            # OFF on cpu/gpu where the Pallas path is the test interpreter.
+            use_pallas = jax.default_backend() not in ("cpu", "gpu")
         self.model = model
         self.parameters = DQMCParameters(**params)
         self.p = self.parameters

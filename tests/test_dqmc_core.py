@@ -143,3 +143,16 @@ def test_honeycomb_hubbard_half_filling():
     occ = float(np.mean(obs.mean))
     err = float(np.mean(obs.std_error))
     assert abs(occ - 0.5) < max(4 * err, 0.01), (occ, err)
+
+
+def test_use_pallas_auto_default():
+    """DQMC(use_pallas=None) resolves by backend: off on CPU (interpreter is
+    test-only), on for TPU (validated bench default); explicit True/False
+    still wins."""
+    import montecarlo_tpu as mc
+    import jax.numpy as jnp
+    model = mc.HubbardModelAttractive(dims=2, L=2, U=4.0, mu=0.0)
+    kw = dict(beta=1.0, delta_tau=0.1, n_chains=2, seed=0, sweeps=1,
+              thermalization=0, dtype=jnp.float32)
+    assert not mc.DQMC(model, **kw).ctx.use_pallas          # auto on CPU
+    assert mc.DQMC(model, use_pallas=True, **kw).ctx.use_pallas
