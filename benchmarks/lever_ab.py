@@ -59,17 +59,24 @@ def bench(tag, env=None, l=8, chains=256, sweeps=6, sm=10, use_pallas=True,
                 os.environ[k] = v
 
 
-print("devices:", jax.devices(), flush=True)
-bench("baseline sm=10")
-bench("S=2", {"MC_TPU_SITES_PER_STEP": "2"})
-bench("S=4", {"MC_TPU_SITES_PER_STEP": "4"})
-bench("S=8", {"MC_TPU_SITES_PER_STEP": "8"})
-bench("fuse_wrap", {"MC_TPU_FUSE_WRAP": "1"})
-bench("fuse_wrap+S=4", {"MC_TPU_FUSE_WRAP": "1", "MC_TPU_SITES_PER_STEP": "4"})
-bench("fuse_wrap+S=8", {"MC_TPU_FUSE_WRAP": "1", "MC_TPU_SITES_PER_STEP": "8"})
-bench("sm=1 baseline", sm=1, sweeps=2)
-bench("sm=1 fuse_wrap+S=4", {"MC_TPU_FUSE_WRAP": "1",
-                             "MC_TPU_SITES_PER_STEP": "4"}, sm=1, sweeps=2)
-bench("L=16 site-major 64ch", l=16, chains=64, sweeps=2)
-bench("L=16 xla (no pallas) 64ch", l=16, chains=64, sweeps=2,
-      use_pallas=False)
+def run_matrix():
+    bench("baseline sm=10")
+    bench("S=2", {"MC_TPU_SITES_PER_STEP": "2"})
+    bench("S=4", {"MC_TPU_SITES_PER_STEP": "4"})
+    bench("S=8", {"MC_TPU_SITES_PER_STEP": "8"})
+    bench("fuse_wrap", {"MC_TPU_FUSE_WRAP": "1"})
+    bench("fuse_wrap+S=4",
+          {"MC_TPU_FUSE_WRAP": "1", "MC_TPU_SITES_PER_STEP": "4"})
+    bench("fuse_wrap+S=8",
+          {"MC_TPU_FUSE_WRAP": "1", "MC_TPU_SITES_PER_STEP": "8"})
+    bench("sm=1 baseline", sm=1, sweeps=2)
+    bench("sm=1 fuse_wrap+S=4", {"MC_TPU_FUSE_WRAP": "1",
+                                 "MC_TPU_SITES_PER_STEP": "4"}, sm=1, sweeps=2)
+    bench("L=16 site-major 64ch", l=16, chains=64, sweeps=2)
+    bench("L=16 xla (no pallas) 64ch", l=16, chains=64, sweeps=2,
+          use_pallas=False)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    run_matrix()

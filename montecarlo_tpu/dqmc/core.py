@@ -796,9 +796,12 @@ def _sweep_slice_fused_wrap(ctx, consts, G, sigma, u, ls, direction):
 
 def _fuse_wrap_enabled(ctx):
     import os
-    return (os.environ.get("MC_TPU_FUSE_WRAP", "0") == "1"
+    if not (os.environ.get("MC_TPU_FUSE_WRAP", "0") == "1"
             and ctx.use_pallas and not ctx.is_complex and ctx.N <= 128
-            and ctx.delay <= 1)
+            and ctx.delay <= 1):
+        return False
+    from ..ops.pallas_site_sweep import wrap_fuse_ok
+    return wrap_fuse_ok(ctx.N, len(ctx.signs))
 
 
 def _scan_slices(ctx, consts, G, conf, key, ls, slice_list, direction):

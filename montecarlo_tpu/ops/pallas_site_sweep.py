@@ -446,19 +446,9 @@ def _gt_scratch_ok(variant, N, F):
             C = _cx_chunk(N, F)
             gdtype = jnp.complex64
             fn = functools.partial(_site_sweep_batched_cx, **kw)
-        elif variant == "sitemajor_cx":
-            # probe at the production chain block (largest CB a big batch
-            # would select), not a fixed CB=8
-            C = _pick_sublane_block(256, N, F, n_blocks=6)
-            gdtype = jnp.complex64
-            fn = functools.partial(_site_sweep_sitemajor_cx, force_cb=C, **kw)
-        elif variant == "batched":
+        else:  # "batched"  (site-major variants probe via _sitemajor_cfg*)
             C = 128
             fn = functools.partial(_site_sweep_batched,
-                                   _force_scratch=True, **kw)
-        else:
-            C = 8
-            fn = functools.partial(_site_sweep_sitemajor, force_cb=8,
                                    _force_scratch=True, **kw)
         args = (jax.ShapeDtypeStruct((C, F, N, N), gdtype),
                 jax.ShapeDtypeStruct((C, N), jnp.int32),
@@ -471,15 +461,112 @@ def _gt_scratch_ok(variant, N, F):
     return _GT_SCRATCH_CACHE[key]
 
 
+# Cached (chunk_C, gt_scratch) production config for the site-major kernels,
+# keyed by (N, F, cx). Measured on v5e at N=256: the real compiler fits the
+# kernel ONLY when the chain block equals the full per-call batch (block ==
+# array lets Mosaic stream the big operands instead of pinning a full-size
+# output in scoped VMEM), and the scratch-Gt transpose never fits at N > 128
+# — neither constraint is visible to the interpreter, so the config comes
+# from AOT compile probes at the EXACT production shapes, preferred-first.
+_SITEMAJOR_CFG_CACHE = {}
+
+
+def _sitemajor_cfg(N, F):
+    """(chunk_C, gt_scratch) for the f32 site-major kernel, or None if no
+    probed configuration compiles. chunk_C is the per-pallas_call chain
+    count (callers chunk the batch to it); the call uses one full-array
+    chain block (CB == padded C)."""
+    if jax.default_backend() == "cpu":
+        # interpreter: any config runs; static v5e-budget stand-in so CPU
+        # tests exercise the same support boundary as the old picker
+        if (_pick_sublane_block(8, N, F, n_blocks=4) is None
+                and _pick_sublane_block(8, N, F, n_blocks=3) is None):
+            return None
+        return (32, True)
+    key = (N, F, False)
+    if key not in _SITEMAJOR_CFG_CACHE:
+        kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
+                  det_power=2 // F, use_boson=False)
+        found = None
+        for C, scratch in ((64, True), (64, False), (32, True), (32, False),
+                           (16, True), (16, False), (8, True), (8, False)):
+            fn = functools.partial(_site_sweep_sitemajor, force_cb=C,
+                                   _force_scratch=scratch, **kw)
+            args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
+                    jax.ShapeDtypeStruct((C, N), jnp.int32),
+                    jax.ShapeDtypeStruct((C, N), jnp.float32))
+            try:
+                jax.jit(fn).lower(*args).compile()
+                found = (C, scratch)
+                break
+            except Exception:
+                continue
+        _SITEMAJOR_CFG_CACHE[key] = found
+    return _SITEMAJOR_CFG_CACHE[key]
+
+
+def _sitemajor_cfg_cx(N, F):
+    """chunk_C for the complex site-major kernel (always scratch-Gt), or
+    None if no probed chain count compiles."""
+    if jax.default_backend() == "cpu":
+        if _pick_sublane_block(8, N, F, n_blocks=6) is None:
+            return None
+        return 32
+    key = (N, F, True)
+    if key not in _SITEMAJOR_CFG_CACHE:
+        kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
+                  det_power=2 // F, use_boson=False)
+        found = None
+        for C in (64, 32, 16, 8):
+            fn = functools.partial(_site_sweep_sitemajor_cx, force_cb=C, **kw)
+            args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.complex64),
+                    jax.ShapeDtypeStruct((C, N), jnp.int32),
+                    jax.ShapeDtypeStruct((C, N), jnp.float32))
+            try:
+                jax.jit(fn).lower(*args).compile()
+                found = C
+                break
+            except Exception:
+                continue
+        _SITEMAJOR_CFG_CACHE[key] = found
+    return _SITEMAJOR_CFG_CACHE[key]
+
+
+_WRAP_FUSE_CACHE = {}
+
+
+def wrap_fuse_ok(N, F):
+    """Cached AOT compile probe for the wrap-fused chain-on-lanes kernel at
+    its PRODUCTION chunk/block size: the in-kernel MXU wrap holds extra
+    (N,N,CB) stack temporaries, so VMEM fit is shape-dependent and only the
+    real compiler can confirm it (the interpreter can't). On probe failure
+    core._fuse_wrap_enabled leaves the unfused path in place."""
+    if jax.default_backend() == "cpu":
+        return True  # interpreter mode
+    key = (N, F)
+    if key not in _WRAP_FUSE_CACHE:
+        from .pallas_util import pick_vmem_lane_chunk
+        C = pick_vmem_lane_chunk(5 * F * N * N * 4)
+        kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
+                  det_power=2 // F, use_boson=False, wrap_dir=1)
+        fn = functools.partial(_site_sweep_batched, **kw)
+        args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
+                jax.ShapeDtypeStruct((C, N), jnp.int32),
+                jax.ShapeDtypeStruct((C, N), jnp.float32),
+                jax.ShapeDtypeStruct((N, N), jnp.float32),
+                jax.ShapeDtypeStruct((N, N), jnp.float32))
+        try:
+            jax.jit(fn).lower(*args).compile()
+            _WRAP_FUSE_CACHE[key] = True
+        except Exception:  # VMEM OOM or Mosaic rejection
+            _WRAP_FUSE_CACHE[key] = False
+    return _WRAP_FUSE_CACHE[key]
+
+
 def sitemajor_supported(N, F):
-    """Whether the site-major kernel can run at this (N, F): either the
-    4-block materialized-Gt layout fits VMEM outright, or the 3-block
-    scratch-Gt layout fits AND its in-kernel transpose compiles."""
-    if _pick_sublane_block(8, N, F, n_blocks=4) is not None:
-        return True
-    if _pick_sublane_block(8, N, F, n_blocks=3) is None:
-        return False
-    return _gt_scratch_ok("sitemajor", N, F)
+    """Whether the site-major kernel can run at this (N, F): some probed
+    (chunk, Gt-mode) configuration compiles at its production shape."""
+    return _sitemajor_cfg(N, F) is not None
 
 
 def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
@@ -487,15 +574,25 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
     """Site-major fused sweep for N > 128. Same contract as
     _site_sweep_batched; chains are padded to a multiple of the chain block."""
     C, F, N, _ = G.shape
-    scratch = (_force_scratch if _force_scratch is not None
-               else _gt_scratch_ok("sitemajor", N, F))
-    CB = force_cb or _pick_sublane_block(C, N, F, 3 if scratch else 4)
-    if CB is None:
-        raise ValueError(
-            f"site-major fused sweep unsupported at N={N}, F={F} "
-            f"(scratch={scratch}): no chain block fits the scoped-VMEM "
-            "budget — use the XLA site loop (use_pallas=False / "
-            "make_context's automatic fallback)")
+    if force_cb is not None:
+        scratch = bool(_force_scratch)
+        CB = force_cb
+    else:
+        cfg = _sitemajor_cfg(N, F)
+        if cfg is None:
+            raise ValueError(
+                f"site-major fused sweep unsupported at N={N}, F={F}: no "
+                "probed configuration compiles — use the XLA site loop "
+                "(use_pallas=False / make_context's automatic fallback)")
+        chunk, scratch = cfg
+        if C > chunk:
+            raise ValueError(
+                f"site-major sweep called with C={C} > probed per-call "
+                f"chunk {chunk}; chunk the batch first (custom_vmap rule)")
+        # one full-array chain block per call: block == array lets Mosaic
+        # stream the big operands; smaller blocks pin a full-size output in
+        # scoped VMEM on the real compiler (measured v5e, N=256)
+        CB = max(8, -(-C // 8) * 8)
     pad = (-C) % CB
     if pad:
         # zero padding is algebra-safe: G=0 gives r = 1+delta (no NaN), and
@@ -574,7 +671,15 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
     scratch = True if wrap_dir else (
         _force_scratch if _force_scratch is not None
         else _gt_scratch_ok("batched", N, F))
-    CB = _pick_chain_block(C)
+    if wrap_dir:
+        # wrap fusion holds ~5 (N,N,CB)-sized f32 blocks in scoped VMEM at
+        # once: G in + G out + Gt scratch + the MXU wrap's Z/W stack
+        # temporaries (measured on v5e: CB=256 at N=64 allocates 20.55M
+        # against the 16M scoped limit; CB=128 fits)
+        from .pallas_util import pick_vmem_lane_block
+        CB = pick_vmem_lane_block(C, 5 * F * N * N * 4)
+    else:
+        CB = _pick_chain_block(C)
     # experimental per-grid-step site unroll (MC_TPU_SITES_PER_STEP, default
     # 1): identical algebra/rounding, trades program size for per-step fixed
     # cost; clamp to a divisor of N
@@ -890,12 +995,20 @@ def _site_sweep_sitemajor_cx(G, sigma, u, *, lamb, signs, det_power,
     """Site-major complex sweep for N > 128. Same contract as
     `_site_sweep_batched_cx`; chains pad to a multiple of the chain block."""
     C, F, N, _ = G.shape
-    CB = force_cb or _pick_sublane_block(C, N, F, n_blocks=6)
-    if CB is None:
-        raise ValueError(
-            f"site-major complex sweep unsupported at N={N}, F={F}: no "
-            "chain block fits the scoped-VMEM budget — use the XLA site "
-            "loop (make_context's automatic fallback)")
+    if force_cb is not None:
+        CB = force_cb
+    else:
+        chunk = _sitemajor_cfg_cx(N, F)
+        if chunk is None:
+            raise ValueError(
+                f"site-major complex sweep unsupported at N={N}, F={F}: no "
+                "probed chain count compiles — use the XLA site loop "
+                "(make_context's automatic fallback)")
+        if C > chunk:
+            raise ValueError(
+                f"site-major complex sweep called with C={C} > probed "
+                f"per-call chunk {chunk}; chunk the batch first")
+        CB = max(8, -(-C // 8) * 8)
     pad = (-C) % CB
     if pad:
         zpad = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
@@ -948,9 +1061,7 @@ def complex_supported(N, F) -> bool:
         return False
     if N <= 128:
         return _gt_scratch_ok("batched_cx", N, F)
-    if _pick_sublane_block(8, N, F, n_blocks=6) is None:
-        return False
-    return _gt_scratch_ok("sitemajor_cx", N, F)
+    return _sitemajor_cfg_cx(N, F) is not None
 
 
 _FUSED_CACHE = {}
@@ -976,10 +1087,11 @@ def get_fused_site_sweep_cx(*, lamb, signs, det_power, use_boson):
     def _rule(axis_size, in_batched, G, sigma, u):
         assert all(in_batched), "fused site sweep expects all args batched"
         N, F = G.shape[-1], G.shape[1]
-        # chain-on-lanes (N <= 128) must chunk the batch to the VMEM budget;
-        # site-major (N > 128) tiles chains on sublanes internally — its
-        # residency is independent of the batch, so one call takes it all
-        step = _cx_chunk(N, F) if N <= 128 else axis_size
+        # chain-on-lanes (N <= 128) chunks the batch to the VMEM budget;
+        # site-major (N > 128) chunks to the probed per-call chain count
+        # (block == array — see _sitemajor_cfg_cx)
+        step = (_cx_chunk(N, F) if N <= 128
+                else (_sitemajor_cfg_cx(N, F) or axis_size))
         from .pallas_util import map_lane_chunks
         out = map_lane_chunks(
             lambda g, s, uu: _site_sweep_batched_cx(g, s, uu, **kw),
@@ -1014,10 +1126,11 @@ def get_fused_site_sweep_wrap(*, lamb, signs, det_power, use_boson,
     def _rule(axis_size, in_batched, G, sigma, u, Ml, MrT):
         assert in_batched[:3] == [True, True, True] and \
             not any(in_batched[3:]), "G/sigma/u batched; Ml/MrT shared"
-        from .pallas_util import map_lane_chunks
+        from .pallas_util import map_lane_chunks, pick_vmem_lane_chunk
+        F, N = G.shape[1], G.shape[-1]
         out = map_lane_chunks(
             lambda g, s, uu: _site_sweep_batched(g, s, uu, Ml, MrT, **kw),
-            G, sigma, u)
+            G, sigma, u, step=pick_vmem_lane_chunk(5 * F * N * N * 4))
         return out, (True, True, True, True)
 
     _FUSED_CACHE[key] = fused
@@ -1042,9 +1155,16 @@ def get_fused_site_sweep(*, lamb, signs, det_power, use_boson):
     @fused.def_vmap
     def _rule(axis_size, in_batched, G, sigma, u):
         assert all(in_batched), "fused site sweep expects all args batched"
-        from .pallas_util import map_lane_chunks
+        from .pallas_util import map_lane_chunks, LANE_CHUNK
+        N, F = G.shape[-1], G.shape[1]
+        if N > 128:
+            cfg = _sitemajor_cfg(N, F)
+            step = cfg[0] if cfg else LANE_CHUNK
+        else:
+            step = LANE_CHUNK
         out = map_lane_chunks(
-            lambda g, s, uu: _site_sweep_batched(g, s, uu, **kw), G, sigma, u)
+            lambda g, s, uu: _site_sweep_batched(g, s, uu, **kw), G, sigma, u,
+            step=step)
         return out, (True, True, True, True)
 
     _FUSED_CACHE[key] = fused
