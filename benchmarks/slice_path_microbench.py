@@ -18,8 +18,11 @@ Usage: python benchmarks/slice_path_microbench.py  (on the TPU runtime)
 """
 
 import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -139,6 +142,31 @@ def main():
         float(jnp.sum(jnp.real(out)))
         t_ext = (time.time() - t0) / max(1, K // 10) * 1e3
         print(f"{'extend_left (sm=10 B-mults + QR)':34s} {t_ext:8.4f} ms / boundary")
+
+        # boundary greens recompute at the same shapes (Dmax/Dmin one-UDT)
+        from montecarlo_tpu.ops.linalg import calculate_greens
+
+        @jax.jit
+        def greens_chain(U, D, T):
+            def step(carry, _):
+                U, D, T = carry
+                G = jax.vmap(lambda u, d, t: calculate_greens(
+                    u, d, t, iU, iD, iT, ctx.greens_udt_fn))(U, D, T)
+                # feed G back so the cg is not hoisted out of the scan
+                # (1e-30*G is value-neutral at f32 scale but not foldable)
+                U = (U + jnp.asarray(1e-30, U.dtype) * G).astype(U.dtype)
+                return (U, D, T), None
+            (U, D, T), _ = jax.lax.scan(step, (U, D, T),
+                                        None, length=max(1, K // 10))
+            return U
+
+        out = greens_chain(out, bD, bT)
+        float(jnp.sum(jnp.real(out)))
+        t0 = time.time()
+        out2 = greens_chain(out, bD, bT)
+        float(jnp.sum(jnp.real(out2)))
+        t_cg = (time.time() - t0) / max(1, K // 10) * 1e3
+        print(f"{'calculate_greens':34s} {t_cg:8.4f} ms / boundary")
 
     # net out the shared per-iteration scaffolding so it is not subtracted
     # twice (each region's scan body pays the same RNG split + draw + flip)

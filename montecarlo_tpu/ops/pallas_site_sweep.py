@@ -330,8 +330,9 @@ from .pallas_util import pick_lane_block as _pick_chain_block
 
 
 def _sitemajor_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
-                      *refs):
-    """One grid step = one site i for one chain block (grid = (C/CB, N)).
+                      *refs, sites_per_step=1):
+    """One grid step = `sites_per_step` consecutive sites for one chain block
+    (grid = (C/CB, N // sites_per_step); default 1 = one site per step).
     sigma/u/acc/nneg: (1, N, CB) [chain block on lanes]; G_ref (F,N,CB,N)
     [chains on sublanes]; Gt = swap(row, col) of G. With gt_scratch=True
     (cached Mosaic compile probe, `_gt_scratch_ok`) Gt lives in VMEM scratch,
@@ -339,62 +340,66 @@ def _sitemajor_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
     blocks instead of 4, and the VMEM headroom funds CB=16 at N=256 plus
     F=2 support; otherwise Gt is a regular input+output pair. State is
     copied into the output refs at site 0 (no input aliasing — see
-    _batched_kernel)."""
+    _batched_kernel). sites_per_step unrolls the site body inside one grid
+    step — Markov-identical, same algebra (see _batched_kernel)."""
     if gt_scratch:
         u_ref, s_in, G_in, sigma_ref, G_ref, acc_ref, nneg_ref, Gt_ref = refs
     else:
         (u_ref, s_in, G_in, Gt_in,
          sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref) = refs
-    i = pl.program_id(1)
+    i0 = pl.program_id(1) * sites_per_step
 
-    @pl.when(i == 0)
+    @pl.when(i0 == 0)
     def _init():
         sigma_ref[...] = s_in[...]
         G_ref[...] = G_in[...]
         Gt_ref[...] = (jnp.swapaxes(G_in[...], 1, 3) if gt_scratch
                        else Gt_in[...])
 
-    s = sigma_ref[0, pl.ds(i, 1)][None]                       # (1,1,CB) lane
-    u_i = u_ref[0, pl.ds(i, 1)][None]                         # (1,1,CB) lane
-    dEb = jnp.float32(-2.0 * lamb) * s
+    for di in range(sites_per_step):
+        i = i0 + di
+        s = sigma_ref[0, pl.ds(i, 1)][None]                   # (1,1,CB) lane
+        u_i = u_ref[0, pl.ds(i, 1)][None]                     # (1,1,CB) lane
+        dEb = jnp.float32(-2.0 * lamb) * s
 
-    onehot = jnp.where(
-        lax.broadcasted_iota(jnp.int32, (1, 1, N), 2) == i,
-        jnp.float32(1.0), jnp.float32(0.0))                   # (1,1,N)
+        onehot = jnp.where(
+            lax.broadcasted_iota(jnp.int32, (1, 1, N), 2) == i,
+            jnp.float32(1.0), jnp.float32(0.0))               # (1,1,N)
 
-    rows, colTs, deltas, rs = [], [], [], []
-    rprod = None
-    for f, sg in enumerate(signs):
-        row = G_ref[f, pl.ds(i, 1)]                           # (1,CB,N)
-        colT = Gt_ref[f, pl.ds(i, 1)]                         # (1,CB,N)
-        gii_sub = jnp.sum(row * onehot, axis=2, keepdims=True)  # (1,CB,1)
-        gii = jnp.swapaxes(gii_sub, 1, 2)                     # (1,1,CB) lane
-        delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0          # (1,1,CB)
-        r = 1.0 + delta * (1.0 - gii)
-        rows.append(row); colTs.append(colT)
-        deltas.append(delta); rs.append(r)
-        rprod = r if rprod is None else rprod * r
-    detratio = rprod ** det_power                             # (1,1,CB)
-    w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
-    accept = u_i < w * detratio                               # (1,1,CB)
+        rows, colTs, deltas, rs = [], [], [], []
+        rprod = None
+        for f, sg in enumerate(signs):
+            row = G_ref[f, pl.ds(i, 1)]                       # (1,CB,N)
+            colT = Gt_ref[f, pl.ds(i, 1)]                     # (1,CB,N)
+            gii_sub = jnp.sum(row * onehot, axis=2,
+                              keepdims=True)                  # (1,CB,1)
+            gii = jnp.swapaxes(gii_sub, 1, 2)                 # (1,1,CB) lane
+            delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0      # (1,1,CB)
+            r = 1.0 + delta * (1.0 - gii)
+            rows.append(row); colTs.append(colT)
+            deltas.append(delta); rs.append(r)
+            rprod = r if rprod is None else rprod * r
+        detratio = rprod ** det_power                         # (1,1,CB)
+        w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+        accept = u_i < w * detratio                           # (1,1,CB)
 
-    for f in range(F):
-        x = jnp.where(accept, deltas[f] / rs[f],
-                      jnp.zeros_like(rs[f]))                  # (1,1,CB)
-        x_sub = jnp.swapaxes(x, 1, 2)                         # (1,CB,1)
-        IG = onehot - colTs[f]                                # (1,CB,N)
-        xIG = x_sub * IG                                      # (1,CB,N)
-        xIGo = jnp.swapaxes(xIG, 0, 2)                        # (N,CB,1)
-        rowb = rows[f]                                        # (1,CB,N)
-        G_ref[f] = G_ref[f] - xIGo * rowb
-        Gt_ref[f] = Gt_ref[f] - jnp.swapaxes(rowb, 0, 2) * xIG
+        for f in range(F):
+            x = jnp.where(accept, deltas[f] / rs[f],
+                          jnp.zeros_like(rs[f]))              # (1,1,CB)
+            x_sub = jnp.swapaxes(x, 1, 2)                     # (1,CB,1)
+            IG = onehot - colTs[f]                            # (1,CB,N)
+            xIG = x_sub * IG                                  # (1,CB,N)
+            xIGo = jnp.swapaxes(xIG, 0, 2)                    # (N,CB,1)
+            rowb = rows[f]                                    # (1,CB,N)
+            G_ref[f] = G_ref[f] - xIGo * rowb
+            Gt_ref[f] = Gt_ref[f] - jnp.swapaxes(rowb, 0, 2) * xIG
 
-    flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
-    sigma_ref[0, pl.ds(i, 1)] = (s * flip)[0]
-    one = jnp.ones_like(s[0])
-    zero = jnp.zeros_like(s[0])
-    acc_ref[0, pl.ds(i, 1)] = jnp.where(accept[0], one, zero)
-    nneg_ref[0, pl.ds(i, 1)] = jnp.where(detratio[0] < 0, one, zero)
+        flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+        sigma_ref[0, pl.ds(i, 1)] = (s * flip)[0]
+        one = jnp.ones_like(s[0])
+        zero = jnp.zeros_like(s[0])
+        acc_ref[0, pl.ds(i, 1)] = jnp.where(accept[0], one, zero)
+        nneg_ref[0, pl.ds(i, 1)] = jnp.where(detratio[0] < 0, one, zero)
 
 
 # scoped-VMEM budget for the resident G blocks (3 with Gt in scratch: G
@@ -461,6 +466,40 @@ def _gt_scratch_ok(variant, N, F):
     return _GT_SCRATCH_CACHE[key]
 
 
+
+def _sites_per_step(N):
+    """Experimental per-grid-step site unroll (MC_TPU_SITES_PER_STEP,
+    default 1): identical algebra/rounding, trades program size for the
+    per-grid-step fixed cost; clamped to a divisor of N."""
+    import os
+    S = max(1, int(os.environ.get("MC_TPU_SITES_PER_STEP", "1")))
+    while S > 1 and N % S:
+        S -= 1
+    return S
+
+
+def _probe_compiles(fn, arg_shapes) -> bool:
+    """AOT-compile `fn(G, sigma, u, ...)` INSIDE a lax.scan that threads G and
+    sigma through the carry. A standalone compile is not representative: the
+    scoped-VMEM accounting differs inside a while/scan body (measured on v5e:
+    a kernel that fits standalone by <0.1 MB OOMs by 48 KB once the
+    surrounding sweep scan wraps it), and production always runs the kernels
+    inside the slice scan."""
+    def scanned(*args):
+        def body(carry, _):
+            out = fn(*carry, *args[len(carry):])
+            return (out[0].astype(args[0].dtype),
+                    out[1].astype(args[1].dtype)) + carry[2:], None
+        carry = args[:2] + args[2:3]
+        (G, sigma, u), _ = lax.scan(body, carry, None, length=2)
+        return G
+    try:
+        jax.jit(scanned).lower(*arg_shapes).compile()
+        return True
+    except Exception:  # VMEM OOM or Mosaic rejection
+        return False
+
+
 # Cached (chunk_C, gt_scratch) production config for the site-major kernels,
 # keyed by (N, F, cx). Measured on v5e at N=256: the real compiler fits the
 # kernel ONLY when the chain block equals the full per-call batch (block ==
@@ -483,7 +522,7 @@ def _sitemajor_cfg(N, F):
                 and _pick_sublane_block(8, N, F, n_blocks=3) is None):
             return None
         return (32, True)
-    key = (N, F, False)
+    key = (N, F, False, _sites_per_step(N))
     if key not in _SITEMAJOR_CFG_CACHE:
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
                   det_power=2 // F, use_boson=False)
@@ -495,12 +534,9 @@ def _sitemajor_cfg(N, F):
             args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
                     jax.ShapeDtypeStruct((C, N), jnp.int32),
                     jax.ShapeDtypeStruct((C, N), jnp.float32))
-            try:
-                jax.jit(fn).lower(*args).compile()
+            if _probe_compiles(fn, args):
                 found = (C, scratch)
                 break
-            except Exception:
-                continue
         _SITEMAJOR_CFG_CACHE[key] = found
     return _SITEMAJOR_CFG_CACHE[key]
 
@@ -522,12 +558,9 @@ def _sitemajor_cfg_cx(N, F):
             args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.complex64),
                     jax.ShapeDtypeStruct((C, N), jnp.int32),
                     jax.ShapeDtypeStruct((C, N), jnp.float32))
-            try:
-                jax.jit(fn).lower(*args).compile()
+            if _probe_compiles(fn, args):
                 found = C
                 break
-            except Exception:
-                continue
         _SITEMAJOR_CFG_CACHE[key] = found
     return _SITEMAJOR_CFG_CACHE[key]
 
@@ -555,11 +588,7 @@ def wrap_fuse_ok(N, F):
                 jax.ShapeDtypeStruct((C, N), jnp.float32),
                 jax.ShapeDtypeStruct((N, N), jnp.float32),
                 jax.ShapeDtypeStruct((N, N), jnp.float32))
-        try:
-            jax.jit(fn).lower(*args).compile()
-            _WRAP_FUSE_CACHE[key] = True
-        except Exception:  # VMEM OOM or Mosaic rejection
-            _WRAP_FUSE_CACHE[key] = False
+        _WRAP_FUSE_CACHE[key] = _probe_compiles(fn, args)
     return _WRAP_FUSE_CACHE[key]
 
 
@@ -600,9 +629,10 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
         zpad = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
         G, sigma, u = zpad(G), zpad(sigma), zpad(u)
     Cp = C + pad
+    S = _sites_per_step(N)
     kern = functools.partial(_sitemajor_kernel, float(lamb), tuple(signs),
                              int(det_power), bool(use_boson), N, F, CB,
-                             scratch)
+                             scratch, sites_per_step=S)
     interpret = jax.default_backend() == "cpu"
     Gk = jnp.transpose(G, (1, 2, 0, 3))                       # (F,N,C,N)
     # small per-chain vectors: (C/CB, N, CB) so the block's lane dim (CB)
@@ -634,7 +664,7 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
     outs = pl.pallas_call(
         kern,
         interpret=interpret,
-        grid=(Cp // CB, N),
+        grid=(Cp // CB, N // S),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -680,9 +710,6 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
         CB = pick_vmem_lane_block(C, 5 * F * N * N * 4)
     else:
         CB = _pick_chain_block(C)
-    # experimental per-grid-step site unroll (MC_TPU_SITES_PER_STEP, default
-    # 1): identical algebra/rounding, trades program size for per-step fixed
-    # cost; clamp to a divisor of N
     import os
     S = max(1, int(os.environ.get("MC_TPU_SITES_PER_STEP", "1")))
     while S > 1 and N % S:

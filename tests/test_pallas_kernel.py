@@ -255,6 +255,29 @@ def test_sites_per_step_unroll_matches(monkeypatch):
     assert np.max(np.abs(np.asarray(G1 - G4))) < 1e-5
 
 
+def test_sitemajor_sites_per_step_unroll_matches(monkeypatch):
+    """The site-major kernel's MC_TPU_SITES_PER_STEP unroll must reproduce
+    the per-site kernel's Markov chain exactly (same contract as the
+    chain-on-lanes unroll test above)."""
+    model = HubbardModelAttractive(dims=2, L=4, U=4.0, mu=0.0)
+    params = DQMCParameters(beta=2.0)
+    ctx, consts = core.make_context(model, params, update_dtype=jnp.float32)
+    C, N, F = 3, ctx.N, ctx.F
+    rng = np.random.default_rng(5)
+    G = jnp.asarray(rng.normal(size=(C, F, N, N)) * 0.2 + 0.5 * np.eye(N),
+                    jnp.float32)
+    sigma = jnp.asarray(rng.choice([-1, 1], size=(C, N)), jnp.int32)
+    u = jnp.asarray(rng.uniform(size=(C, N)), jnp.float32)
+    kw = dict(lamb=ctx.lamb, signs=ctx.signs, det_power=ctx.det_power,
+              use_boson=ctx.use_boson, force_cb=8, _force_scratch=True)
+    G1, s1, a1, n1 = pss._site_sweep_sitemajor(G, sigma, u, **kw)
+    monkeypatch.setenv("MC_TPU_SITES_PER_STEP", "4")
+    G4, s4, a4, n4 = pss._site_sweep_sitemajor(G, sigma, u, **kw)
+    assert np.array_equal(np.asarray(s1), np.asarray(s4))
+    assert np.array_equal(np.asarray(a1), np.asarray(a4))
+    assert np.max(np.abs(np.asarray(G1 - G4))) < 1e-5
+
+
 def test_sitemajor_complex_matches_xla():
     """The site-major complex variant (N > 128 Peierls sessions) must match
     the XLA complex loop: exercised at small N via force_cb (interpreter),
