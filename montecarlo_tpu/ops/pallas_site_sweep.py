@@ -402,6 +402,127 @@ def _sitemajor_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
         nneg_ref[0, pl.ds(i, 1)] = jnp.where(detratio[0] < 0, one, zero)
 
 
+def _sitemajor_delayed_kernel(lamb, signs, det_power, use_boson, N, F, CB,
+                              DK, mxu_apply, *refs):
+    """Delayed rank-k site-major sweep: one grid step = DK consecutive sites
+    (grid = (C/CB, N // DK)); materialized-Gt layout only.
+
+    The per-site full-G read-modify-write of `_sitemajor_kernel` is what
+    bounds it (measured v5e: ~0.9 T op/s achieved, unaffected by site
+    unrolling — VMEM traffic, not per-step cost). This kernel instead keeps
+    the DK-block's row slab R = G[i0:i0+DK, :] and column slab
+    C = Gt[i0:i0+DK, :] exactly updated through the block (reference
+    algebra: delayed/blocked updates of accept_local!,
+    /root/reference/src/models/HubbardModel/HubbardModelAttractive.jl:129,
+    here batched and deferred), accumulates the rank-1 factors a_p, b_p,
+    and applies Sigma_p a_p (x) b_p to G and Gt ONCE per block:
+      * row/col/decision quantities per site come from the slabs (exact, so
+        the Markov chain is identical to the per-site kernel in exact
+        arithmetic);
+      * slab maintenance per site costs O(DK*CB*N) instead of O(N*CB*N);
+      * the block apply runs either as per-chain MXU dots (mxu_apply=True:
+        (N,DK)@(DK,N) per chain c, contracting the slot axis) or as DK
+        unrolled VPU rank-1 updates (mxu_apply=False — same flops as the
+        per-site kernel but 1/DK of its G traffic).
+    """
+    (u_ref, s_in, G_in, Gt_in,
+     sigma_ref, G_ref, Gt_ref, acc_ref, nneg_ref) = refs
+    i0 = pl.program_id(1) * DK
+
+    @pl.when(i0 == 0)
+    def _init():
+        sigma_ref[...] = s_in[...]
+        G_ref[...] = G_in[...]
+        Gt_ref[...] = Gt_in[...]
+
+    lane_ids = lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    slot_ids = lax.broadcasted_iota(jnp.int32, (DK, 1, 1), 0)
+    # block row/column slabs, kept exactly updated through the DK sites
+    Rs = [G_ref[f, pl.ds(i0, DK)] for f in range(F)]       # (DK,CB,N)
+    Cs = [Gt_ref[f, pl.ds(i0, DK)] for f in range(F)]
+    As = [[] for _ in range(F)]
+    Bs = [[] for _ in range(F)]
+
+    for t in range(DK):
+        i = i0 + t
+        s = sigma_ref[0, pl.ds(i, 1)][None]                # (1,1,CB) lane
+        u_i = u_ref[0, pl.ds(i, 1)][None]                  # (1,1,CB) lane
+        dEb = jnp.float32(-2.0 * lamb) * s
+        onehot = jnp.where(lane_ids == i, jnp.float32(1.0),
+                           jnp.float32(0.0))               # (1,1,N)
+        e_local = jnp.where(slot_ids == t, jnp.float32(1.0),
+                            jnp.float32(0.0))              # (DK,1,1)
+
+        rows, deltas, rs_ = [], [], []
+        rprod = None
+        for f, sg in enumerate(signs):
+            row = Rs[f][t:t + 1]                           # (1,CB,N)
+            gii_sub = jnp.sum(row * onehot, axis=2,
+                              keepdims=True)               # (1,CB,1)
+            gii = jnp.swapaxes(gii_sub, 1, 2)              # (1,1,CB)
+            delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0
+            r = 1.0 + delta * (1.0 - gii)
+            rows.append(row); deltas.append(delta); rs_.append(r)
+            rprod = r if rprod is None else rprod * r
+        detratio = rprod ** det_power                      # (1,1,CB)
+        w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+        accept = u_i < w * detratio                        # (1,1,CB)
+
+        for f in range(F):
+            x = jnp.where(accept, deltas[f] / rs_[f],
+                          jnp.zeros_like(rs_[f]))          # (1,1,CB)
+            x_sub = jnp.swapaxes(x, 1, 2)                  # (1,CB,1)
+            col = Cs[f][t:t + 1]                           # (1,CB,N) over r
+            a_full = x_sub * (onehot - col)                # (1,CB,N) over r
+            b_full = rows[f]                               # (1,CB,N) over n
+            # slab-restricted components, one lane extraction each:
+            # a[i0+s] = x*(delta_{s,t} - R[s,:,i]), b[i0+s] = C[s,:,i]
+            Rcol_i = jnp.sum(Rs[f] * onehot, axis=2,
+                             keepdims=True)                # (DK,CB,1)
+            Ccol_i = jnp.sum(Cs[f] * onehot, axis=2,
+                             keepdims=True)                # (DK,CB,1)
+            a_slab = x_sub * (e_local - Rcol_i)            # (DK,CB,1)
+            Rs[f] = Rs[f] - a_slab * b_full
+            Cs[f] = Cs[f] - Ccol_i * a_full
+            As[f].append(a_full)
+            Bs[f].append(b_full)
+
+        flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+        sigma_ref[0, pl.ds(i, 1)] = (s * flip)[0]
+        one = jnp.ones_like(s[0])
+        zero = jnp.zeros_like(s[0])
+        acc_ref[0, pl.ds(i, 1)] = jnp.where(accept[0], one, zero)
+        nneg_ref[0, pl.ds(i, 1)] = jnp.where(detratio[0] < 0, one, zero)
+
+    # block apply: G -= Sigma_p a_p (x) b_p, Gt -= Sigma_p b_p (x) a_p
+    for f in range(F):
+        if mxu_apply:
+            A = jnp.concatenate(As[f], axis=0)             # (DK,CB,N) over r
+            B = jnp.concatenate(Bs[f], axis=0)             # (DK,CB,N) over n
+            for c in range(CB):
+                A_c = A[:, c, :]                           # (DK,N)
+                B_c = B[:, c, :]                           # (DK,N)
+                upd = lax.dot_general(
+                    A_c, B_c, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (N_r,N_n)
+                updT = lax.dot_general(
+                    B_c, A_c, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (N_n,N_r)
+                G_ref[f, :, pl.ds(c, 1), :] = (
+                    G_ref[f, :, pl.ds(c, 1), :] - upd[:, None, :])
+                Gt_ref[f, :, pl.ds(c, 1), :] = (
+                    Gt_ref[f, :, pl.ds(c, 1), :] - updT[:, None, :])
+        else:
+            Gf, Gtf = G_ref[f], Gt_ref[f]
+            for t in range(DK):
+                a_o = jnp.swapaxes(As[f][t], 0, 2)         # (N,CB,1)
+                b_o = jnp.swapaxes(Bs[f][t], 0, 2)         # (N,CB,1)
+                Gf = Gf - a_o * Bs[f][t]
+                Gtf = Gtf - b_o * As[f][t]
+            G_ref[f] = Gf
+            Gt_ref[f] = Gtf
+
+
 # scoped-VMEM budget for the resident G blocks (3 with Gt in scratch: G
 # in+out + Gt; 4 with Gt materialized: in+out for both G and Gt);
 # conservative vs the 16 MB v5e limit to leave room for the small buffers
@@ -592,10 +713,114 @@ def wrap_fuse_ok(N, F):
     return _WRAP_FUSE_CACHE[key]
 
 
+def _sm_delayed_mode():
+    """Delayed-kernel dispatch mode for N > 128: "auto" (default — use the
+    delayed kernel when its compile probe passes; measured 80.4 vs 46.9
+    chain-sweeps/s at L=16 on v5e), "1" force, "0" disable."""
+    import os
+    return os.environ.get("MC_TPU_SM_DELAYED", "auto")
+
+
+def _sitemajor_delayed_cfg(N, F):
+    """(chunk_C, DK, mxu_apply) for the delayed site-major kernel, or None.
+    Probed at production shapes like _sitemajor_cfg (feasibility-ordered;
+    within-order preference: more chains per call, MXU apply)."""
+    if jax.default_backend() == "cpu":
+        return (32, 16, True)
+    key = (N, F, "delayed")
+    if key not in _SITEMAJOR_CFG_CACHE:
+        kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
+                  det_power=2 // F, use_boson=False)
+        found = None
+        for C, DK, mxu in ((32, 16, True), (16, 16, True), (32, 16, False),
+                           (16, 16, False), (16, 8, True), (8, 16, True),
+                           (8, 16, False), (16, 8, False)):
+            fn = functools.partial(_site_sweep_sitemajor_delayed, force_cb=C,
+                                   force_dk=DK, force_mxu=mxu, **kw)
+            args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
+                    jax.ShapeDtypeStruct((C, N), jnp.int32),
+                    jax.ShapeDtypeStruct((C, N), jnp.float32))
+            if _probe_compiles(fn, args):
+                found = (C, DK, mxu)
+                break
+        _SITEMAJOR_CFG_CACHE[key] = found
+    return _SITEMAJOR_CFG_CACHE[key]
+
+
+def _sitemajor_chunk(N, F):
+    """Per-call chain chunk the N>128 dispatch will use (for the custom_vmap
+    rule's batch chunking)."""
+    if _sm_delayed_mode() != "0":
+        cfg = _sitemajor_delayed_cfg(N, F)
+        if cfg is not None:
+            return cfg[0]
+    cfg = _sitemajor_cfg(N, F)
+    return cfg[0] if cfg else None
+
+
 def sitemajor_supported(N, F):
     """Whether the site-major kernel can run at this (N, F): some probed
     (chunk, Gt-mode) configuration compiles at its production shape."""
     return _sitemajor_cfg(N, F) is not None
+
+
+def _site_sweep_sitemajor_delayed(G, sigma, u, *, lamb, signs, det_power,
+                                  use_boson, force_cb=None, force_dk=None,
+                                  force_mxu=None):
+    """Delayed rank-k site-major sweep for N > 128 (see
+    _sitemajor_delayed_kernel). Same contract as _site_sweep_batched."""
+    C, F, N, _ = G.shape
+    if force_cb is not None:
+        CB, DK = force_cb, (force_dk or 16)
+        mxu = True if force_mxu is None else bool(force_mxu)
+    else:
+        cfg = _sitemajor_delayed_cfg(N, F)
+        if cfg is None:
+            raise ValueError(
+                f"delayed site-major sweep unsupported at N={N}, F={F}")
+        chunk, DK, mxu = cfg
+        if C > chunk:
+            raise ValueError(
+                f"delayed site-major sweep called with C={C} > probed "
+                f"per-call chunk {chunk}; chunk the batch first")
+        CB = max(8, -(-C // 8) * 8)
+    while DK > 1 and N % DK:
+        DK -= 1
+    pad = (-C) % CB
+    if pad:
+        zpad = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        G, sigma, u = zpad(G), zpad(sigma), zpad(u)
+    Cp = C + pad
+    kern = functools.partial(_sitemajor_delayed_kernel, float(lamb),
+                             tuple(signs), int(det_power), bool(use_boson),
+                             N, F, CB, DK, mxu)
+    interpret = jax.default_backend() == "cpu"
+    Gk = jnp.transpose(G, (1, 2, 0, 3))                       # (F,N,C,N)
+    to_blocks = lambda a: jnp.transpose(
+        a.reshape(Cp // CB, CB, N), (0, 2, 1))                # (NB,N,CB)
+    sig = to_blocks(sigma.astype(jnp.float32))
+    uk = to_blocks(u)
+    i32 = jnp.int32
+    bigspec = pl.BlockSpec((F, N, CB, N),
+                           lambda cb, i: (i32(0), i32(0), cb, i32(0)))
+    rowspec = pl.BlockSpec((1, N, CB), lambda cb, i: (cb, i32(0), i32(0)))
+    vec_shape = jax.ShapeDtypeStruct((Cp // CB, N, CB), jnp.float32)
+    big_shape = jax.ShapeDtypeStruct((F, N, Cp, N), jnp.float32)
+    outs = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=(Cp // CB, N // DK),
+        in_specs=[rowspec, rowspec, bigspec, bigspec],
+        out_specs=[rowspec, bigspec, bigspec, rowspec, rowspec],
+        out_shape=[vec_shape, big_shape, big_shape, vec_shape, vec_shape],
+    )(uk, sig, Gk, jnp.transpose(G, (1, 3, 0, 2)))
+    sig_out, G_out, _Gt, accv, nnegv = outs
+    from_blocks = lambda a: jnp.transpose(a, (0, 2, 1)).reshape(Cp, N)[:C]
+    G_new = jnp.transpose(G_out, (2, 0, 1, 3))[:C]
+    sigma_new = from_blocks(sig_out).astype(sigma.dtype)
+    acc = jnp.sum(from_blocks(accv), axis=1).astype(jnp.int32)
+    nneg = jnp.sum(from_blocks(nnegv), axis=1).astype(jnp.int32)
+    return G_new, sigma_new, acc, nneg
 
 
 def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
@@ -695,9 +920,13 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
     C, F, N, _ = G.shape
     if N > 128:
         assert wrap_dir == 0, "wrap fusion is chain-on-lanes only"
-        return _site_sweep_sitemajor(G, sigma, u, lamb=lamb, signs=signs,
-                                     det_power=det_power, use_boson=use_boson,
-                                     _force_scratch=_force_scratch)
+        kw = dict(lamb=lamb, signs=signs, det_power=det_power,
+                  use_boson=use_boson)
+        if _sm_delayed_mode() != "0" and \
+                _sitemajor_delayed_cfg(N, F) is not None:
+            return _site_sweep_sitemajor_delayed(G, sigma, u, **kw)
+        return _site_sweep_sitemajor(G, sigma, u,
+                                     _force_scratch=_force_scratch, **kw)
     scratch = True if wrap_dir else (
         _force_scratch if _force_scratch is not None
         else _gt_scratch_ok("batched", N, F))
@@ -1184,11 +1413,8 @@ def get_fused_site_sweep(*, lamb, signs, det_power, use_boson):
         assert all(in_batched), "fused site sweep expects all args batched"
         from .pallas_util import map_lane_chunks, LANE_CHUNK
         N, F = G.shape[-1], G.shape[1]
-        if N > 128:
-            cfg = _sitemajor_cfg(N, F)
-            step = cfg[0] if cfg else LANE_CHUNK
-        else:
-            step = LANE_CHUNK
+        step = ((_sitemajor_chunk(N, F) or LANE_CHUNK) if N > 128
+                else LANE_CHUNK)
         out = map_lane_chunks(
             lambda g, s, uu: _site_sweep_batched(g, s, uu, **kw), G, sigma, u,
             step=step)

@@ -278,6 +278,32 @@ def test_sitemajor_sites_per_step_unroll_matches(monkeypatch):
     assert np.max(np.abs(np.asarray(G1 - G4))) < 1e-5
 
 
+@pytest.mark.parametrize("mxu", [True, False])
+def test_sitemajor_delayed_matches_per_site(mxu):
+    """The delayed rank-k site-major kernel must reproduce the per-site
+    kernel's Markov chain (bit-equal sigma/acc — decision quantities come
+    from exactly-maintained row/col slabs) with G equal up to the rounding
+    of the deferred block apply."""
+    model = HubbardModelAttractive(dims=2, L=4, U=4.0, mu=0.0)
+    params = DQMCParameters(beta=2.0)
+    ctx, consts = core.make_context(model, params, update_dtype=jnp.float32)
+    C, N, F = 3, ctx.N, ctx.F
+    rng = np.random.default_rng(7)
+    G = jnp.asarray(rng.normal(size=(C, F, N, N)) * 0.2 + 0.5 * np.eye(N),
+                    jnp.float32)
+    sigma = jnp.asarray(rng.choice([-1, 1], size=(C, N)), jnp.int32)
+    u = jnp.asarray(rng.uniform(size=(C, N)), jnp.float32)
+    kw = dict(lamb=ctx.lamb, signs=ctx.signs, det_power=ctx.det_power,
+              use_boson=ctx.use_boson)
+    G1, s1, a1, n1 = pss._site_sweep_sitemajor(
+        G, sigma, u, force_cb=8, _force_scratch=True, **kw)
+    Gd, sd, ad, nd = pss._site_sweep_sitemajor_delayed(
+        G, sigma, u, force_cb=8, force_dk=4, force_mxu=mxu, **kw)
+    assert np.array_equal(np.asarray(s1), np.asarray(sd))
+    assert np.array_equal(np.asarray(a1), np.asarray(ad))
+    assert np.max(np.abs(np.asarray(G1 - Gd))) < 1e-4
+
+
 def test_sitemajor_complex_matches_xla():
     """The site-major complex variant (N > 128 Peierls sessions) must match
     the XLA complex loop: exercised at small N via force_cb (interpreter),
