@@ -362,6 +362,207 @@ def qr_lanes_cx():
     return qr
 
 
+def _qr_mxu_kernel(N, CBQ, KB, At_in, Rt_ref, Q_ref):
+    """Blocked WY Householder QR with per-chain MXU trailing updates, for
+    N > 128 where the chain-on-lanes kernels no longer fit VMEM.
+
+    Layouts (chains on the SUBLANE dim, matrix dims on outer+lane):
+      Rt_ref (N, CBQ, N) = [col, chain, row]  (A transposed per chain);
+      Q_ref  (N, CBQ, N) = [row, chain, col].
+    One grid step = one KB-column panel (grid = (N/KB,), one chain block
+    per call — the caller chunks the batch): the panel's
+    reflectors are computed column-by-column on the (KB, CBQ, N) slab
+    (batched over chains on sublanes), the forward-LARFT T is built as
+    (1, CBQ, 1) scalars, and the trailing columns + Q are updated in the
+    compact form I - V.T.Vt via THREE MXU dots per chain per target
+    (W = X.V, Z = W.T batched on the VPU, X -= Z.Vt) — the same
+    per-chain-dot + strided-ref-RMW pattern as the delayed site-major
+    sweep kernel (pallas_site_sweep._sitemajor_delayed_kernel), which the
+    v5e Mosaic toolchain compiles. Numerical conventions identical to
+    `_qr_kernel`/`_blocked_kernel` (LAPACK sign, tau = 0 on zero tails,
+    exact zero-fill of finalized panel entries)."""
+    j0 = pl.program_id(0) * KB
+    i32 = jnp.int32
+
+    @pl.when(j0 == 0)
+    def _init():
+        Rt_ref[...] = At_in[...]
+        row_ids = lax.broadcasted_iota(i32, (N, 1, N), 0)
+        col_ids = lax.broadcasted_iota(i32, (N, 1, N), 2)
+        Q_ref[...] = jnp.broadcast_to(
+            jnp.where(row_ids == col_ids, jnp.float32(1.0),
+                      jnp.float32(0.0)), (N, CBQ, N))
+
+    lane_r = lax.broadcasted_iota(i32, (1, 1, N), 2)
+    p_ids = lax.broadcasted_iota(i32, (KB, 1, 1), 0)
+
+    # ---- panel phase: reflectors on the (KB, CBQ, N) slab, chain-batched
+    P = Rt_ref[pl.ds(j0, KB)]
+    vs, taus = [], []
+    for k in range(KB):
+        j = j0 + k
+        x = P[k:k + 1]                                        # (1,CBQ,N)
+        onehot_j = jnp.where(lane_r == j, jnp.float32(1.0),
+                             jnp.float32(0.0))
+        tail = jnp.where(lane_r > j, jnp.float32(1.0), jnp.float32(0.0))
+        alpha = jnp.sum(x * onehot_j, axis=2, keepdims=True)  # (1,CBQ,1)
+        sigma = jnp.sum((x * tail) ** 2, axis=2, keepdims=True)
+        normx = jnp.sqrt(alpha * alpha + sigma)
+        s = jnp.where(alpha >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+        vj = alpha + s * normx
+        v = x * tail + vj * onehot_j                          # (1,CBQ,N)
+        vtv = sigma + vj * vj
+        tau = jnp.where(vtv > 0, 2.0 / vtv, jnp.float32(0.0))
+        w = jnp.sum(P * v, axis=2, keepdims=True)             # (KB,CBQ,1)
+        P = P - (tau * w) * v
+        fin = x * (1.0 - tail - onehot_j) + (-s * normx) * onehot_j
+        P = jnp.where(p_ids == k, fin, P)
+        vs.append(v)
+        taus.append(tau)
+    Rt_ref[pl.ds(j0, KB)] = P
+
+    # ---- forward LARFT: T upper triangular, entries (1, CBQ, 1)
+    g = {}
+    for jj in range(1, KB):
+        for m in range(jj):
+            g[(m, jj)] = jnp.sum(vs[m] * vs[jj], axis=2, keepdims=True)
+    T = {}
+    for jj in range(KB):
+        T[(jj, jj)] = taus[jj]
+        for i in range(jj - 1, -1, -1):
+            acc = None
+            for m in range(i, jj):
+                term = T[(i, m)] * g[(m, jj)]
+                acc = term if acc is None else acc + term
+            T[(i, jj)] = -taus[jj] * acc
+
+    V = jnp.concatenate(vs, axis=0)                           # (KB,CBQ,N)
+
+    # chunk the target's outer (column) dim so value temporaries stay small:
+    # full-block value reads/updates at N=256 stack ~29 MB of temporaries
+    # regardless of CBQ (measured), while N<=128 fits whole. Same remedy as
+    # _blocked_kernel's chunked row loop.
+    CH = N if N <= 128 else (64 if N % 64 == 0 else (32 if N % 32 == 0
+                                                     else KB))
+
+    def block_apply(X_ref, mask_trailing):
+        # per chunk: W[c] = X_c . V_c^T per chain (MXU), Z = W.T batched
+        # (VPU), X_c -= Z_c . V_c per chain (MXU), one chunked write-back
+        for c0 in range(0, N, CH):
+            X = X_ref[pl.ds(c0, CH)]                          # (CH,CBQ,N)
+            Ws = []
+            for c in range(CBQ):
+                Wc = lax.dot_general(X[:, c, :], V[:, c, :],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                Ws.append(Wc[:, None, :])                     # (CH,1,KB)
+            W = jnp.concatenate(Ws, axis=1)                   # (CH,CBQ,KB)
+            Zcols = []
+            for k in range(KB):
+                z = None
+                for m in range(k + 1):                        # T upper tri
+                    term = W[:, :, m:m + 1] * T[(m, k)]
+                    z = term if z is None else z + term
+                Zcols.append(z)
+            Z = jnp.concatenate(Zcols, axis=2)                # (CH,CBQ,KB)
+            if mask_trailing:
+                cid = c0 + lax.broadcasted_iota(i32, (CH, 1, 1), 0)
+                Z = jnp.where(cid >= j0 + KB, Z, jnp.float32(0.0))
+            upds = []
+            for c in range(CBQ):
+                upd = lax.dot_general(Z[:, c, :], V[:, c, :],
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+                upds.append(upd[:, None, :])                  # (CH,1,N)
+            X_ref[pl.ds(c0, CH)] = X - jnp.concatenate(upds, axis=1)
+
+    block_apply(Rt_ref, True)
+    block_apply(Q_ref, False)
+
+
+# per-call chain count for the MXU QR at a given N: 3 resident (N,CBQ,N)
+# state blocks under the 13 MB budget, capped at 16
+def _mxu_qr_cbq(N):
+    from .pallas_util import VMEM_BUDGET
+    cbq = VMEM_BUDGET // (3 * N * N * 4)
+    return max(1, min(16, (cbq // 2) * 2))
+
+
+MXU_QR_KB = 16
+
+
+def _qr_batched_mxu_chunk(A):
+    """One-chain-block blocked-WY MXU QR call: A (B<=CBQ, N, N) f32 ->
+    (Q, R). The chain block equals the (padded) batch — with several chain
+    blocks per call the compiler pins a full-size output in scoped VMEM
+    (same v5e finding as the site-major sweep kernels)."""
+    B, N, _ = A.shape
+    KB = MXU_QR_KB if N % MXU_QR_KB == 0 else 8
+    CBQ = max(1, -(-B // 2) * 2)
+    pad = CBQ - B
+    if pad:
+        # identity padding keeps the reflector math trivially well-defined
+        eye = jnp.broadcast_to(jnp.eye(N, dtype=A.dtype), (pad, N, N))
+        A = jnp.concatenate([A, eye], axis=0)
+    interpret = jax.default_backend() == "cpu"
+    At = jnp.transpose(A, (2, 0, 1))                          # (col,B,row)
+    i32 = jnp.int32
+    spec = pl.BlockSpec((N, CBQ, N), lambda j: (i32(0), i32(0), i32(0)))
+    shape = jax.ShapeDtypeStruct((N, CBQ, N), jnp.float32)
+    Rt_out, Q_out = pl.pallas_call(
+        functools.partial(_qr_mxu_kernel, N, CBQ, KB),
+        interpret=interpret,
+        grid=(N // KB,),
+        in_specs=[spec],
+        out_specs=[spec, spec],
+        out_shape=[shape, shape],
+    )(At)
+    R = jnp.transpose(Rt_out, (1, 2, 0))[:B]
+    Q = jnp.transpose(Q_out, (1, 0, 2))[:B]
+    return Q, R
+
+
+def _qr_batched_mxu(A):
+    """Blocked-WY MXU QR of A (B, N, N) f32 -> (Q, R); the batch is split
+    into one-chain-block calls of _mxu_qr_cbq(N) chains each."""
+    from .pallas_util import map_lane_chunks
+    return map_lane_chunks(_qr_batched_mxu_chunk, A, step=_mxu_qr_cbq(A.shape[-1]))
+
+
+_MXU_QR_CACHE = {}
+
+
+def _mxu_qr_ok(N) -> bool:
+    """Opt-in gate + cached AOT compile probe for the MXU QR
+    (MC_TPU_QR256=1 enables). Default OFF: measured on v5e at
+    (64,256,256) f32 the kernel runs 12.5 ms vs XLA's 8.4 ms — the
+    per-chain (N,KB) trailing dots are too skinny to feed the 128-wide
+    MXU at KB<=16, and larger KB blows up the scalar LARFT-T graph.
+    Kept as an experimental lever (correct, tested) pending a
+    recursive-T / fatter-panel variant."""
+    import os
+    env = os.environ.get("MC_TPU_QR256")
+    if env is None or env in ("0", "false", "off"):
+        return False
+    if jax.default_backend() == "cpu":
+        return True
+    if N not in _MXU_QR_CACHE:
+        def scanned(A):
+            def body(carry, _):
+                Q, R = _qr_batched_mxu(carry)
+                return Q + jnp.asarray(1e-6, Q.dtype) * R, None
+            out, _ = lax.scan(body, A, None, length=2)
+            return out
+        try:
+            jax.jit(scanned).lower(
+                jax.ShapeDtypeStruct((_mxu_qr_cbq(N), N, N),
+                                     jnp.float32)).compile()
+            _MXU_QR_CACHE[N] = True
+        except Exception:
+            _MXU_QR_CACHE[N] = False
+    return _MXU_QR_CACHE[N]
+
+
 from .pallas_util import pick_lane_block as _pick_chain_block
 
 
@@ -439,6 +640,29 @@ def qr_lanes():
     return qr
 
 
+def qr_lanes_mxu():
+    """(..., N, N) f32 QR via the blocked MXU kernel (N > 128): folds all
+    leading axes into the kernel's grid-blocked chain batch. No outer
+    chunking is needed — the kernel's VMEM residency is per chain block,
+    independent of the batch."""
+    if "fn_mxu" in _QR_CACHE:
+        return _QR_CACHE["fn_mxu"]
+
+    @custom_vmap
+    def qr(A):
+        lead = A.shape[:-2]
+        N = A.shape[-1]
+        Q, R = _qr_batched_mxu(A.reshape((-1, N, N)))
+        return Q.reshape(lead + (N, N)), R.reshape(lead + (N, N))
+
+    @qr.def_vmap
+    def _rule(axis_size, in_batched, A):
+        return qr(A), (True, True)
+
+    _QR_CACHE["fn_mxu"] = qr
+    return qr
+
+
 def qr_supported(A) -> bool:
     """Kernel eligibility: f32 square trailing dims, sublane-aligned N.
 
@@ -446,16 +670,20 @@ def qr_supported(A) -> bool:
     sweep the per-chain shape is only (F, N, N) — the real lane batch
     appears through the custom_vmap rule.
 
-    N is capped at 128: measured on v5e, the kernel beats XLA's QR by 1.8x
-    (N=64) to 3.5x (N=128), but at N=256 the full-matrix VMEM residency is
-    gone (chain blocks stream) and XLA wins.
-
-    complex64 routes to the two-plane kernel under the same N cap."""
+    N <= 128 routes to the chain-on-lanes kernels (measured on v5e: 1.8x
+    XLA at N=64, 3.5x at N=128); f32 at N > 128 routes to the blocked MXU
+    kernel behind its compile probe (XLA's column-loop QR costs ~8.1 ms per
+    (64,256,256) f32 call); complex64 keeps the two-plane kernel under the
+    128 cap."""
     if not HAVE_PALLAS or A.dtype not in (jnp.float32, jnp.complex64):
         return False
     N = A.shape[-1]
-    return (A.ndim >= 2 and A.shape[-2] == N
-            and N % 8 == 0 and 8 <= N <= 128)
+    if not (A.ndim >= 2 and A.shape[-2] == N and N % 8 == 0 and N >= 8):
+        return False
+    if N <= 128:
+        return True
+    return (A.dtype == jnp.float32 and N % 8 == 0
+            and _mxu_qr_ok(N))
 
 
 # None = auto (on for the TPU backend); tests may force True (interpret mode
@@ -473,9 +701,12 @@ def maybe_qr(A):
     """Drop-in for jnp.linalg.qr(A) routing lane-tileable f32/complex64
     batches to the fused kernels on TPU."""
     if enabled() and qr_supported(A):
+        N = A.shape[-1]
         if A.dtype == jnp.complex64:
-            if _cx_qr_ok(A.shape[-1]):
+            if _cx_qr_ok(N):
                 return qr_lanes_cx()(A)
             return jnp.linalg.qr(A)  # probe failed: XLA complex QR
+        if N > 128:
+            return qr_lanes_mxu()(A)
         return qr_lanes()(A)
     return jnp.linalg.qr(A)

@@ -42,6 +42,47 @@ def test_qr_random_batch():
     _check_qr(A)
 
 
+def _check_qr_mxu(A, rtol=2e-5):
+    Q, R = pallas_qr.qr_lanes_mxu()(A)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    scale = np.maximum(1.0, np.max(np.abs(np.asarray(A)), axis=(-2, -1),
+                                   keepdims=True))
+    np.testing.assert_allclose(np.asarray(Q @ R) / scale,
+                               np.asarray(A) / scale, atol=rtol * n)
+    ortho = np.asarray(jnp.swapaxes(Q, -1, -2) @ Q - eye)
+    assert np.max(np.abs(ortho)) < rtol * n, np.max(np.abs(ortho))
+    lower = np.tril(np.asarray(R), -1)
+    assert np.max(np.abs(lower) / scale[..., 0, 0, None, None]) < 1e-6
+
+
+def test_qr_mxu_random_batch():
+    """Blocked MXU QR (N > 128 dispatch) on random input, incl. a batch
+    that is not a chain-block multiple (identity padding path)."""
+    key = jax.random.PRNGKey(4)
+    A = jax.random.normal(key, (5, 32, 32), jnp.float32)
+    _check_qr_mxu(A)
+
+
+def test_qr_mxu_graded_columns():
+    key = jax.random.PRNGKey(5)
+    A = jax.random.normal(key, (4, 32, 32), jnp.float32)
+    A = (A * jnp.exp(jnp.linspace(12.0, -12.0, 32))[None, None, :]
+         ).astype(jnp.float32)
+    _check_qr_mxu(A)
+
+
+def test_qr_mxu_matches_lanes_kernel():
+    """Same input through both kernels: decompositions agree up to f32
+    rounding (same Householder conventions)."""
+    key = jax.random.PRNGKey(6)
+    A = jax.random.normal(key, (3, 16, 16), jnp.float32)
+    Q1, R1 = pallas_qr.qr_lanes()(A)
+    Q2, R2 = pallas_qr.qr_lanes_mxu()(A)
+    np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=2e-4)
+
+
 def test_qr_graded_columns():
     """DQMC-like input: strongly graded column norms (descending, as after
     udt_dirty's pivot sort)."""
