@@ -732,14 +732,21 @@ def _sitemajor_delayed_cfg(N, F):
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
                   det_power=2 // F, use_boson=False)
         found = None
-        for C, DK, mxu in ((32, 16, True), (16, 16, True), (32, 16, False),
-                           (16, 16, False), (16, 8, True), (8, 16, True),
-                           (8, 16, False), (16, 8, False)):
-            fn = functools.partial(_site_sweep_sitemajor_delayed, force_cb=C,
-                                   force_dk=DK, force_mxu=mxu, **kw)
-            args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
-                    jax.ShapeDtypeStruct((C, N), jnp.int32),
-                    jax.ShapeDtypeStruct((C, N), jnp.float32))
+        # DK=64 measured fastest at N=256 (95-97 vs 88-91 cs/s at L=16 for
+        # DK=32); DK=128 and CB=64 don't compile. The probe wraps fn in the
+        # PRODUCTION chunking (map_lane_chunks_seq over 2 chunks) — a bare
+        # scan-wrapped probe is over-conservative and rejects DK=64 even
+        # though the lax.map context compiles and runs it.
+        from .pallas_util import map_lane_chunks_seq
+        for C, DK, mxu in ((32, 64, True), (32, 32, True), (16, 64, True),
+                           (32, 16, True), (16, 16, True), (16, 16, False),
+                           (8, 16, True), (8, 16, False)):
+            kfn = functools.partial(_site_sweep_sitemajor_delayed, force_cb=C,
+                                    force_dk=DK, force_mxu=mxu, **kw)
+            fn = functools.partial(map_lane_chunks_seq, kfn, step=C)
+            args = (jax.ShapeDtypeStruct((2 * C, F, N, N), jnp.float32),
+                    jax.ShapeDtypeStruct((2 * C, N), jnp.int32),
+                    jax.ShapeDtypeStruct((2 * C, N), jnp.float32))
             if _probe_compiles(fn, args):
                 found = (C, DK, mxu)
                 break
@@ -1345,13 +1352,17 @@ def get_fused_site_sweep_cx(*, lamb, signs, det_power, use_boson):
         N, F = G.shape[-1], G.shape[1]
         # chain-on-lanes (N <= 128) chunks the batch to the VMEM budget;
         # site-major (N > 128) chunks to the probed per-call chain count
-        # (block == array — see _sitemajor_cfg_cx)
-        step = (_cx_chunk(N, F) if N <= 128
-                else (_sitemajor_cfg_cx(N, F) or axis_size))
-        from .pallas_util import map_lane_chunks
-        out = map_lane_chunks(
-            lambda g, s, uu: _site_sweep_batched_cx(g, s, uu, **kw),
-            G, sigma, u, step=step)
+        # (block == array — see _sitemajor_cfg_cx), sequentially so chunk
+        # calls don't double-buffer in scoped VMEM
+        from .pallas_util import map_lane_chunks, map_lane_chunks_seq
+        if N <= 128:
+            out = map_lane_chunks(
+                lambda g, s, uu: _site_sweep_batched_cx(g, s, uu, **kw),
+                G, sigma, u, step=_cx_chunk(N, F))
+        else:
+            out = map_lane_chunks_seq(
+                lambda g, s, uu: _site_sweep_batched_cx(g, s, uu, **kw),
+                G, sigma, u, step=_sitemajor_cfg_cx(N, F) or axis_size)
         return out, (True, True, True, True)
 
     _FUSED_CACHE[key] = fused
@@ -1411,13 +1422,20 @@ def get_fused_site_sweep(*, lamb, signs, det_power, use_boson):
     @fused.def_vmap
     def _rule(axis_size, in_batched, G, sigma, u):
         assert all(in_batched), "fused site sweep expects all args batched"
-        from .pallas_util import map_lane_chunks, LANE_CHUNK
+        from .pallas_util import (map_lane_chunks, map_lane_chunks_seq,
+                                  LANE_CHUNK)
         N, F = G.shape[-1], G.shape[1]
-        step = ((_sitemajor_chunk(N, F) or LANE_CHUNK) if N > 128
-                else LANE_CHUNK)
-        out = map_lane_chunks(
-            lambda g, s, uu: _site_sweep_batched(g, s, uu, **kw), G, sigma, u,
-            step=step)
+        if N > 128:
+            # sequential chunk scan: unrolled chunk calls double-buffer in
+            # scoped VMEM and OOM at large batches (see map_lane_chunks_seq)
+            step = _sitemajor_chunk(N, F) or LANE_CHUNK
+            out = map_lane_chunks_seq(
+                lambda g, s, uu: _site_sweep_batched(g, s, uu, **kw),
+                G, sigma, u, step=step)
+        else:
+            out = map_lane_chunks(
+                lambda g, s, uu: _site_sweep_batched(g, s, uu, **kw),
+                G, sigma, u, step=LANE_CHUNK)
         return out, (True, True, True, True)
 
     _FUSED_CACHE[key] = fused

@@ -53,6 +53,26 @@ def pick_lane_block(B: int) -> int:
     return B
 
 
+def map_lane_chunks_seq(fn, *args, step: int = LANE_CHUNK):
+    """Like map_lane_chunks, but runs uniform chunks through a lax.map scan
+    so only ONE chunk's pallas call is live at a time. With unrolled chunk
+    calls XLA double-buffers adjacent kernels' operands in scoped VMEM —
+    a kernel that fits at 2 chunks OOMs at 8 (measured on v5e at N=256,
+    256 chains) — and the scan also compiles the kernel body once instead
+    of per chunk. Falls back to the unrolled form for ragged batches."""
+    import jax
+    B = args[0].shape[0]
+    if B <= step:
+        return fn(*args)
+    if B % step == 0:
+        resh = tuple(a.reshape((B // step, step) + a.shape[1:]) for a in args)
+        out = jax.lax.map(lambda xs: fn(*xs), resh)
+        if isinstance(out, tuple):
+            return tuple(o.reshape((-1,) + o.shape[2:]) for o in out)
+        return out.reshape((-1,) + out.shape[2:])
+    return map_lane_chunks(fn, *args, step=step)
+
+
 def map_lane_chunks(fn, *args, step: int = LANE_CHUNK):
     """Apply `fn` to <=step-sized chunks of the leading (chain) axis of every
     arg and concatenate the outputs (tuple-valued fns supported). Chunks need
