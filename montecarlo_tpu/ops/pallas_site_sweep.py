@@ -732,15 +732,16 @@ def _sitemajor_delayed_cfg(N, F):
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
                   det_power=2 // F, use_boson=False)
         found = None
-        # DK=64 measured fastest at N=256 (95-97 vs 88-91 cs/s at L=16 for
-        # DK=32); DK=128 and CB=64 don't compile. The probe wraps fn in the
-        # PRODUCTION chunking (map_lane_chunks_seq over 2 chunks) — a bare
-        # scan-wrapped probe is over-conservative and rejects DK=64 even
-        # though the lax.map context compiles and runs it.
+        # DK=64 measured fastest at N=256 (89-97 vs 80-91 cs/s at L=16 for
+        # DK=16/32). CB=32 configs compile in a bare sweep but OOM scoped
+        # VMEM inside the full DQMC run program (measurement lax.cond
+        # branches shift the accounting), so only CB<=16 — whose 4-block
+        # residency leaves ~6 MB headroom — is eligible; the probe wraps fn
+        # in the production chunking (map_lane_chunks_seq over 2 chunks).
         from .pallas_util import map_lane_chunks_seq
-        for C, DK, mxu in ((32, 64, True), (32, 32, True), (16, 64, True),
-                           (32, 16, True), (16, 16, True), (16, 16, False),
-                           (8, 16, True), (8, 16, False)):
+        for C, DK, mxu in ((16, 64, True), (16, 32, True), (16, 16, True),
+                           (16, 16, False), (8, 32, True), (8, 16, True),
+                           (8, 16, False)):
             kfn = functools.partial(_site_sweep_sitemajor_delayed, force_cb=C,
                                     force_dk=DK, force_mxu=mxu, **kw)
             fn = functools.partial(map_lane_chunks_seq, kfn, step=C)
