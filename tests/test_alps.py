@@ -44,11 +44,11 @@ def test_alps_dqmc_end_to_end(tmp_path):
     _write_square_xml(fn, L=2)
     lat = ALPSLattice(str(fn))
     model = HubbardModelAttractive(l=lat, U=4.0, mu=0.0)
-    mc = DQMC(model, beta=1.0, n_chains=16, seed=3, sweeps=200,
-              thermalization=100, measure_rate=2, print_rate=10 ** 9)
+    mc = DQMC(model, beta=1.0, n_chains=16, seed=3, sweeps=80,
+              thermalization=40, measure_rate=2, print_rate=10 ** 9)
     assert mc.run(verbose=False)
     occ = mc.observables()["occ"]["occ"].mean
-    assert np.max(np.abs(occ - 0.5)) < 0.03
+    assert np.max(np.abs(occ - 0.5)) < 0.05
 
 
 def test_alps_checkpoint_roundtrip(tmp_path):

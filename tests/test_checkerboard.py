@@ -116,13 +116,13 @@ def test_dqmc_checkerboard_option():
         < 2 * params.delta_tau
 
     # end-to-end: half filling at mu=0 within Trotter+statistical tolerance
-    mc = DQMC(model, beta=1.0, n_chains=16, seed=7, sweeps=300,
-              thermalization=100, measure_rate=2, print_rate=10 ** 9,
+    mc = DQMC(model, beta=1.0, n_chains=16, seed=7, sweeps=120,
+              thermalization=50, measure_rate=2, print_rate=10 ** 9,
               checkerboard=True)
     assert mc.run(verbose=False)
     assert mc.analysis.propagation_error.max < 1e-7
     occ = mc.observables()["occ"]["occ"].mean
-    assert np.max(np.abs(occ - 0.5)) < 0.03
+    assert np.max(np.abs(occ - 0.5)) < 0.05
 
 
 def test_checkerboard_checkpoint_roundtrip(tmp_path):

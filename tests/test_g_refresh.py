@@ -66,12 +66,12 @@ def test_refresh_matches_wrap_f32_greens():
 
 def test_refresh_end_to_end_half_filling():
     sim = _mk(True, n_chains=8)
-    sim.parameters.sweeps = 60
-    sim.parameters.thermalization = 30
+    sim.parameters.sweeps = 30
+    sim.parameters.thermalization = 15
     sim["occ"] = mc.occupation(sim, sim.model)
     sim.run(verbose=False)
     occ = float(np.mean(sim.observables()["occ"]["occ"].mean))
-    assert abs(occ - 0.5) < 0.02
+    assert abs(occ - 0.5) < 0.04
 
 
 def test_refresh_survives_checkpoint_roundtrip(tmp_path):

@@ -32,7 +32,7 @@ def exact_ising_3x3(beta):
 @pytest.mark.parametrize("beta", [0.3, 0.5])
 def test_ising_vs_exact_enumeration(beta):
     model = IsingModel(dims=2, L=3)
-    mc = MC(model, beta=beta, n_chains=64, seed=42, sweeps=2000,
+    mc = MC(model, beta=beta, n_chains=64, seed=42, sweeps=800,
             thermalization=200)
     assert mc.run(verbose=False)
     E_exact, M_exact = exact_ising_3x3(beta)
@@ -47,22 +47,22 @@ def test_ising_8x8_near_reference_golden():
     """8x8, beta=0.35: reference golden means <m>=0.398, <e>=-0.924
     (test/integration_tests.jl:1-26). Fresh RNG -> statistical tolerance."""
     model = IsingModel(dims=2, L=8)
-    mc = MC(model, beta=0.35, n_chains=64, seed=7, sweeps=1500,
+    mc = MC(model, beta=0.35, n_chains=64, seed=7, sweeps=700,
             thermalization=300)
     assert mc.run(verbose=False)
     obs = mc.observables()
     m = obs["Magn"]["m"].mean
     e = obs["Energy"]["e"].mean
-    assert abs(e - (-0.924)) < 0.02
-    assert abs(m - 0.398) < 0.05
+    assert abs(e - (-0.924)) < 0.025
+    assert abs(m - 0.398) < 0.06
 
 
 def test_wolff_accelerates_near_tc():
     """Wolff global moves must run and keep the answer consistent near Tc."""
     model = IsingModel(dims=2, L=8)
     beta = 1.0 / IsingTc
-    mc = MC(model, beta=beta, n_chains=32, seed=3, sweeps=500,
-            thermalization=200, global_moves=True, global_rate=2)
+    mc = MC(model, beta=beta, n_chains=32, seed=3, sweeps=250,
+            thermalization=100, global_moves=True, global_rate=2)
     assert mc.run(verbose=False)
     assert mc.analysis.acc_global > 0  # clusters actually flipped
     m = mc.observables()["Magn"]["m"].mean

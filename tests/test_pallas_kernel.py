@@ -156,13 +156,13 @@ def test_complex_kernel_in_full_sweep_pair():
     model = HubbardModelAttractive(dims=1, L=N, U=4.0, mu=0.0,
                                    peierls=theta)
     mc_cx = DQMC(model, beta=1.0, delta_tau=0.1, n_chains=8, seed=3,
-                 sweeps=40, thermalization=20, dtype=jnp.float32,
+                 sweeps=20, thermalization=10, dtype=jnp.float32,
                  use_pallas=True)
     assert mc_cx.ctx.use_pallas
     mc_cx.run(verbose=False)
     occ = np.mean(np.asarray(mc_cx.observables()["occ"]["occ"].mean))
     # half filling by particle-hole symmetry (mu=0, pure gauge)
-    assert abs(occ - 0.5) < 0.05
+    assert abs(occ - 0.5) < 0.07
 
 
 def test_sitemajor_block_pick():
@@ -403,9 +403,9 @@ def test_fuse_wrap_end_to_end_half_filling(monkeypatch):
     monkeypatch.setenv("MC_TPU_FUSE_WRAP", "1")
     model = HubbardModelAttractive(dims=2, L=4, U=4.0, mu=0.0)
     d = DQMC(model, beta=1.0, delta_tau=0.1, n_chains=8, seed=1,
-             sweeps=150, thermalization=80, dtype=jnp.float32,
+             sweeps=50, thermalization=25, dtype=jnp.float32,
              use_pallas=True)
     assert core._fuse_wrap_enabled(d.ctx)
     d.run(verbose=False)
     occ = float(np.mean(np.asarray(d.observables()["occ"]["occ"].mean)))
-    assert abs(occ - 0.5) < 0.03
+    assert abs(occ - 0.5) < 0.05

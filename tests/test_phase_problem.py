@@ -37,8 +37,8 @@ def _flux_ring(L, flux):
     return th
 
 
-def _run(L=4, flux=2.5, beta=2.0, seed=3, n_chains=16, sweeps=200,
-         thermalization=50):
+def _run(L=4, flux=2.5, beta=2.0, seed=3, n_chains=16, sweeps=120,
+         thermalization=30):
     # NOTE flux=pi is gauge-equivalent to a REAL Hamiltonian (one negative
     # bond), so the weights are exactly real there; flux=2.5 at beta=2 gives
     # a measured |1 - <s>| ~ 6e-3 — comfortably detectable
@@ -78,7 +78,7 @@ def test_pure_gauge_keeps_monitors_silent():
     th = phis[:, None] - phis[None, :]
     model = HubbardModelAttractive(dims=1, L=L, U=4.0, mu=0.1, peierls=th)
     mc = DQMC(model, beta=1.0, delta_tau=0.1, n_chains=8, seed=3,
-              sweeps=60, thermalization=20, measure_rate=5,
+              sweeps=30, thermalization=10, measure_rate=5,
               print_rate=10 ** 9)
     mc.run(verbose=False)
     assert mc.analysis.imaginary_probability.count == 0

@@ -99,7 +99,7 @@ def test_combined_iterator_accuracy_strong_coupling(recalc_mult, tol):
     coupling (U=4), where the Gll similarity advance amplifies factor errors
     ~2-3x per slice — the default recalculate=safe_mult tier must stay at
     ~1e-12 (reference accuracy(it) semantics, unequal_time_stack.jl:885-889)."""
-    model, params, ctx, consts, conf = _setup(beta=4.0, U=4.0)
+    model, params, ctx, consts, conf = _setup(beta=3.0, U=4.0)
     G00 = core.greens_from_scratch(ctx, consts, conf, 0)
     err = ut.combined_accuracy(ctx, consts, conf, G00,
                                recalculate=recalc_mult * ctx.sm)
