@@ -362,23 +362,45 @@ def qr_lanes_cx():
     return qr
 
 
-def _qr_mxu_kernel(N, CBQ, KB, At_in, Rt_ref, Q_ref):
-    """Blocked WY Householder QR with per-chain MXU trailing updates, for
-    N > 128 where the chain-on-lanes kernels no longer fit VMEM.
+def _cdot(X, Y, dims, CBQ):
+    """Per-chain dot over the sublane chain axis (axis 1 of both operands):
+    X (a, CBQ, b) · Y (c, CBQ, d) with `dims` the (X, Y) contracting axes of
+    the per-chain 2-D matrices. A python loop of plain 2-D dot_generals —
+    the one matmul form the v5e Mosaic toolchain reliably compiles (batched
+    dot_general is not supported in kernels)."""
+    outs = []
+    for c in range(CBQ):
+        o = lax.dot_general(X[:, c, :], Y[:, c, :],
+                            ((dims[0:1], dims[1:2]), ((), ())),
+                            preferred_element_type=jnp.float32)
+        outs.append(o[:, None, :])
+    return jnp.concatenate(outs, axis=1)
+
+
+def _qr_mxu_kernel(N, CBQ, KB, KB0, At_in, Rt_ref, Q_ref):
+    """Blocked WY Householder QR with per-chain MXU trailing updates and
+    RECURSIVE T aggregation, for N > 128 where the chain-on-lanes kernels no
+    longer fit VMEM.
 
     Layouts (chains on the SUBLANE dim, matrix dims on outer+lane):
       Rt_ref (N, CBQ, N) = [col, chain, row]  (A transposed per chain);
       Q_ref  (N, CBQ, N) = [row, chain, col].
-    One grid step = one KB-column panel (grid = (N/KB,), one chain block
-    per call — the caller chunks the batch): the panel's
-    reflectors are computed column-by-column on the (KB, CBQ, N) slab
-    (batched over chains on sublanes), the forward-LARFT T is built as
-    (1, CBQ, 1) scalars, and the trailing columns + Q are updated in the
-    compact form I - V.T.Vt via THREE MXU dots per chain per target
-    (W = X.V, Z = W.T batched on the VPU, X -= Z.Vt) — the same
-    per-chain-dot + strided-ref-RMW pattern as the delayed site-major
-    sweep kernel (pallas_site_sweep._sitemajor_delayed_kernel), which the
-    v5e Mosaic toolchain compiles. Numerical conventions identical to
+    One grid step = one KB-column SUPER-panel (grid = (N/KB,), one chain
+    block per call — the caller chunks the batch). The super-panel is built
+    from KB/KB0 base panels: each base panel's reflectors are computed
+    column-by-column on its (KB0, CBQ, N) slab (earlier base panels applied
+    to it first in compact WY form), its forward-LARFT T is built with the
+    O(KB0^3) scalar recurrence and materialized as a (KB0, CBQ, KB0) array,
+    and the base T's are then MERGED pairwise-sequentially via
+
+        T([B1 B2]) = [[T1, -T1 (V1 V2ᵀ) T2], [0, T2]]
+
+    (three per-chain MXU dots per merge) — reaching KB=64 without the
+    O(KB^3) scalar-graph blowup that capped the previous version at KB=16.
+    The full-matrix trailing + Q updates then run ONCE per KB columns in the
+    compact form I − VᵀTV via three MXU dots per chain per target chunk
+    (W = X·Vᵀ, Z = W·T, X −= Z·V) — 4x fewer full-matrix RMW passes and
+    4x fatter dots than KB=16. Numerical conventions identical to
     `_qr_kernel`/`_blocked_kernel` (LAPACK sign, tau = 0 on zero tails,
     exact zero-fill of finalized panel entries)."""
     j0 = pl.program_id(0) * KB
@@ -394,49 +416,79 @@ def _qr_mxu_kernel(N, CBQ, KB, At_in, Rt_ref, Q_ref):
                       jnp.float32(0.0)), (N, CBQ, N))
 
     lane_r = lax.broadcasted_iota(i32, (1, 1, N), 2)
-    p_ids = lax.broadcasted_iota(i32, (KB, 1, 1), 0)
+    p_ids = lax.broadcasted_iota(i32, (KB0, 1, 1), 0)
 
-    # ---- panel phase: reflectors on the (KB, CBQ, N) slab, chain-batched
-    P = Rt_ref[pl.ds(j0, KB)]
-    vs, taus = [], []
-    for k in range(KB):
-        j = j0 + k
-        x = P[k:k + 1]                                        # (1,CBQ,N)
-        onehot_j = jnp.where(lane_r == j, jnp.float32(1.0),
-                             jnp.float32(0.0))
-        tail = jnp.where(lane_r > j, jnp.float32(1.0), jnp.float32(0.0))
-        alpha = jnp.sum(x * onehot_j, axis=2, keepdims=True)  # (1,CBQ,1)
-        sigma = jnp.sum((x * tail) ** 2, axis=2, keepdims=True)
-        normx = jnp.sqrt(alpha * alpha + sigma)
-        s = jnp.where(alpha >= 0, jnp.float32(1.0), jnp.float32(-1.0))
-        vj = alpha + s * normx
-        v = x * tail + vj * onehot_j                          # (1,CBQ,N)
-        vtv = sigma + vj * vj
-        tau = jnp.where(vtv > 0, 2.0 / vtv, jnp.float32(0.0))
-        w = jnp.sum(P * v, axis=2, keepdims=True)             # (KB,CBQ,1)
-        P = P - (tau * w) * v
-        fin = x * (1.0 - tail - onehot_j) + (-s * normx) * onehot_j
-        P = jnp.where(p_ids == k, fin, P)
-        vs.append(v)
-        taus.append(tau)
-    Rt_ref[pl.ds(j0, KB)] = P
+    # ---- base panels: scalar reflector loop + scalar LARFT at width KB0
+    V = None                       # (m, CBQ, N) accumulated reflectors
+    T = None                       # (m, CBQ, m) accumulated upper-tri T
+    for s in range(KB // KB0):
+        b0 = j0 + s * KB0
+        P = Rt_ref[pl.ds(b0, KB0)]                            # (KB0,CBQ,N)
+        if V is not None:
+            # apply the accumulated compound H to this base panel's columns
+            W = _cdot(P, V, (1, 1), CBQ)                      # (KB0,CBQ,m)
+            Z = _cdot(W, T, (1, 0), CBQ)                      # (KB0,CBQ,m)
+            P = P - _cdot(Z, V, (1, 0), CBQ)                  # (KB0,CBQ,N)
+        vs, taus = [], []
+        for k in range(KB0):
+            j = b0 + k
+            x = P[k:k + 1]                                    # (1,CBQ,N)
+            onehot_j = jnp.where(lane_r == j, jnp.float32(1.0),
+                                 jnp.float32(0.0))
+            tail = jnp.where(lane_r > j, jnp.float32(1.0), jnp.float32(0.0))
+            alpha = jnp.sum(x * onehot_j, axis=2, keepdims=True)  # (1,CBQ,1)
+            sigma = jnp.sum((x * tail) ** 2, axis=2, keepdims=True)
+            normx = jnp.sqrt(alpha * alpha + sigma)
+            s_ = jnp.where(alpha >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+            vj = alpha + s_ * normx
+            v = x * tail + vj * onehot_j                      # (1,CBQ,N)
+            vtv = sigma + vj * vj
+            tau = jnp.where(vtv > 0, 2.0 / vtv, jnp.float32(0.0))
+            w = jnp.sum(P * v, axis=2, keepdims=True)         # (KB0,CBQ,1)
+            P = P - (tau * w) * v
+            fin = x * (1.0 - tail - onehot_j) + (-s_ * normx) * onehot_j
+            P = jnp.where(p_ids == k, fin, P)
+            vs.append(v)
+            taus.append(tau)
+        Rt_ref[pl.ds(b0, KB0)] = P
 
-    # ---- forward LARFT: T upper triangular, entries (1, CBQ, 1)
-    g = {}
-    for jj in range(1, KB):
-        for m in range(jj):
-            g[(m, jj)] = jnp.sum(vs[m] * vs[jj], axis=2, keepdims=True)
-    T = {}
-    for jj in range(KB):
-        T[(jj, jj)] = taus[jj]
-        for i in range(jj - 1, -1, -1):
-            acc = None
-            for m in range(i, jj):
-                term = T[(i, m)] * g[(m, jj)]
-                acc = term if acc is None else acc + term
-            T[(i, jj)] = -taus[jj] * acc
+        # scalar forward LARFT at width KB0 (entries (1, CBQ, 1))
+        g = {}
+        for jj in range(1, KB0):
+            for m in range(jj):
+                g[(m, jj)] = jnp.sum(vs[m] * vs[jj], axis=2, keepdims=True)
+        Ts = {}
+        for jj in range(KB0):
+            Ts[(jj, jj)] = taus[jj]
+            for i in range(jj - 1, -1, -1):
+                acc = None
+                for m in range(i, jj):
+                    term = Ts[(i, m)] * g[(m, jj)]
+                    acc = term if acc is None else acc + term
+                Ts[(i, jj)] = -taus[jj] * acc
+        # materialize as (KB0, CBQ, KB0): [m, chain, k], zero below diagonal
+        zero = jnp.zeros((1, CBQ, 1), jnp.float32)
+        Tmat = jnp.concatenate(
+            [jnp.concatenate([jnp.broadcast_to(Ts[(m, k)], (1, CBQ, 1))
+                              if m <= k else zero
+                              for k in range(KB0)], axis=2)
+             for m in range(KB0)], axis=0)
+        Vs = jnp.concatenate(vs, axis=0)                      # (KB0,CBQ,N)
 
-    V = jnp.concatenate(vs, axis=0)                           # (KB,CBQ,N)
+        if V is None:
+            V, T = Vs, Tmat
+        else:
+            # merge: T <- [[T, -T·G·Tmat], [0, Tmat]] with G = V·Vsᵀ
+            # (per-chain m×KB0); T's per-chain layout is [row i, col k], so
+            # T·G contracts T axis 1 with G axis 0, then ·Tmat again (1, 0)
+            m = V.shape[0]
+            G = _cdot(V, Vs, (1, 1), CBQ)                     # (m,CBQ,KB0)
+            TR = _cdot(_cdot(T, G, (1, 0), CBQ), Tmat, (1, 0), CBQ)
+            top = jnp.concatenate([T, -TR], axis=2)           # (m,CBQ,m+KB0)
+            bot = jnp.concatenate(
+                [jnp.zeros((KB0, CBQ, m), jnp.float32), Tmat], axis=2)
+            T = jnp.concatenate([top, bot], axis=0)
+            V = jnp.concatenate([V, Vs], axis=0)
 
     # chunk the target's outer (column) dim so value temporaries stay small:
     # full-block value reads/updates at N=256 stack ~29 MB of temporaries
@@ -446,49 +498,35 @@ def _qr_mxu_kernel(N, CBQ, KB, At_in, Rt_ref, Q_ref):
                                                      else KB))
 
     def block_apply(X_ref, mask_trailing):
-        # per chunk: W[c] = X_c . V_c^T per chain (MXU), Z = W.T batched
-        # (VPU), X_c -= Z_c . V_c per chain (MXU), one chunked write-back
+        # per chunk: W[c] = X_c · V_cᵀ per chain (MXU), Z = W·T per chain
+        # (MXU), X_c -= Z_c · V_c per chain (MXU), one chunked write-back
         for c0 in range(0, N, CH):
             X = X_ref[pl.ds(c0, CH)]                          # (CH,CBQ,N)
-            Ws = []
-            for c in range(CBQ):
-                Wc = lax.dot_general(X[:, c, :], V[:, c, :],
-                                     (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-                Ws.append(Wc[:, None, :])                     # (CH,1,KB)
-            W = jnp.concatenate(Ws, axis=1)                   # (CH,CBQ,KB)
-            Zcols = []
-            for k in range(KB):
-                z = None
-                for m in range(k + 1):                        # T upper tri
-                    term = W[:, :, m:m + 1] * T[(m, k)]
-                    z = term if z is None else z + term
-                Zcols.append(z)
-            Z = jnp.concatenate(Zcols, axis=2)                # (CH,CBQ,KB)
+            W = _cdot(X, V, (1, 1), CBQ)                      # (CH,CBQ,KB)
+            Z = _cdot(W, T, (1, 0), CBQ)                      # (CH,CBQ,KB)
             if mask_trailing:
                 cid = c0 + lax.broadcasted_iota(i32, (CH, 1, 1), 0)
                 Z = jnp.where(cid >= j0 + KB, Z, jnp.float32(0.0))
-            upds = []
-            for c in range(CBQ):
-                upd = lax.dot_general(Z[:, c, :], V[:, c, :],
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-                upds.append(upd[:, None, :])                  # (CH,1,N)
-            X_ref[pl.ds(c0, CH)] = X - jnp.concatenate(upds, axis=1)
+            X_ref[pl.ds(c0, CH)] = X - _cdot(Z, V, (1, 0), CBQ)
 
     block_apply(Rt_ref, True)
     block_apply(Q_ref, False)
 
 
 # per-call chain count for the MXU QR at a given N: 3 resident (N,CBQ,N)
-# state blocks under the 13 MB budget, capped at 16
+# state blocks + the live V slab / T / chunk temporaries (~2 more N²-scale
+# blocks at KB=64) under the 13 MB budget, capped at 16
 def _mxu_qr_cbq(N):
     from .pallas_util import VMEM_BUDGET
-    cbq = VMEM_BUDGET // (3 * N * N * 4)
+    cbq = VMEM_BUDGET // (5 * N * N * 4)
     return max(1, min(16, (cbq // 2) * 2))
 
 
-MXU_QR_KB = 16
+# super-panel width (trailing/Q updates run once per KB columns) and the
+# base-panel width for the scalar LARFT recurrence (kept at 16, where the
+# O(KB0³) scalar graph still compiles; wider panels are reached by merging)
+MXU_QR_KB = 64
+MXU_QR_KB0 = 16
 
 
 def _qr_batched_mxu_chunk(A):
@@ -497,7 +535,9 @@ def _qr_batched_mxu_chunk(A):
     blocks per call the compiler pins a full-size output in scoped VMEM
     (same v5e finding as the site-major sweep kernels)."""
     B, N, _ = A.shape
-    KB = MXU_QR_KB if N % MXU_QR_KB == 0 else 8
+    KB = MXU_QR_KB if N % MXU_QR_KB == 0 else (
+        16 if N % 16 == 0 else 8)
+    KB0 = min(MXU_QR_KB0, KB)
     CBQ = max(1, -(-B // 2) * 2)
     pad = CBQ - B
     if pad:
@@ -510,7 +550,7 @@ def _qr_batched_mxu_chunk(A):
     spec = pl.BlockSpec((N, CBQ, N), lambda j: (i32(0), i32(0), i32(0)))
     shape = jax.ShapeDtypeStruct((N, CBQ, N), jnp.float32)
     Rt_out, Q_out = pl.pallas_call(
-        functools.partial(_qr_mxu_kernel, N, CBQ, KB),
+        functools.partial(_qr_mxu_kernel, N, CBQ, KB, KB0),
         interpret=interpret,
         grid=(N // KB,),
         in_specs=[spec],
@@ -524,9 +564,12 @@ def _qr_batched_mxu_chunk(A):
 
 def _qr_batched_mxu(A):
     """Blocked-WY MXU QR of A (B, N, N) f32 -> (Q, R); the batch is split
-    into one-chain-block calls of _mxu_qr_cbq(N) chains each."""
-    from .pallas_util import map_lane_chunks
-    return map_lane_chunks(_qr_batched_mxu_chunk, A, step=_mxu_qr_cbq(A.shape[-1]))
+    into one-chain-block calls of _mxu_qr_cbq(N) chains each, run
+    sequentially through lax.map so adjacent chunks' pallas operands are not
+    double-buffered in scoped VMEM (see map_lane_chunks_seq)."""
+    from .pallas_util import map_lane_chunks_seq
+    return map_lane_chunks_seq(_qr_batched_mxu_chunk, A,
+                               step=_mxu_qr_cbq(A.shape[-1]))
 
 
 _MXU_QR_CACHE = {}

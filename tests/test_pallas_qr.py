@@ -56,6 +56,19 @@ def _check_qr_mxu(A, rtol=2e-5):
     assert np.max(np.abs(lower) / scale[..., 0, 0, None, None]) < 1e-6
 
 
+def test_qr_mxu_recursive_t_merge(monkeypatch):
+    """The recursive-T merge path (T([B1 B2]) block formula): production
+    runs it at KB=64 from four KB0=16 base panels, which the N=16/32 tests
+    never reach (single base panel there). Exercise the identical merge loop
+    cheaply at N=16 with KB=16 built from two KB0=8 base panels."""
+    assert pallas_qr.MXU_QR_KB == 64 and pallas_qr.MXU_QR_KB0 == 16
+    monkeypatch.setattr(pallas_qr, "MXU_QR_KB", 16)
+    monkeypatch.setattr(pallas_qr, "MXU_QR_KB0", 8)
+    key = jax.random.PRNGKey(7)
+    A = jax.random.normal(key, (3, 16, 16), jnp.float32)
+    _check_qr_mxu(A)
+
+
 def test_qr_mxu_random_batch():
     """Blocked MXU QR (N > 128 dispatch) on random input, incl. a batch
     that is not a chain-block multiple (identity padding path)."""
