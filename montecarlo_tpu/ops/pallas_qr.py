@@ -367,12 +367,16 @@ def _cdot(X, Y, dims, CBQ):
     X (a, CBQ, b) · Y (c, CBQ, d) with `dims` the (X, Y) contracting axes of
     the per-chain 2-D matrices. A python loop of plain 2-D dot_generals —
     the one matmul form the v5e Mosaic toolchain reliably compiles (batched
-    dot_general is not supported in kernels)."""
+    dot_general is not supported in kernels). HIGHEST precision is required:
+    the MXU's default single-bf16-pass f32 (~2^-8 relative) is fatal for
+    accumulated WY updates (measured 2e-1 reconstruction error vs 2e-6 at
+    HIGHEST on the 256x256 kernel)."""
     outs = []
     for c in range(CBQ):
         o = lax.dot_general(X[:, c, :], Y[:, c, :],
                             ((dims[0:1], dims[1:2]), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
         outs.append(o[:, None, :])
     return jnp.concatenate(outs, axis=1)
 
@@ -576,16 +580,18 @@ _MXU_QR_CACHE = {}
 
 
 def _mxu_qr_ok(N) -> bool:
-    """Opt-in gate + cached AOT compile probe for the MXU QR
-    (MC_TPU_QR256=1 enables). Default OFF: measured on v5e at
-    (64,256,256) f32 the kernel runs 12.5 ms vs XLA's 8.4 ms — the
-    per-chain (N,KB) trailing dots are too skinny to feed the 128-wide
-    MXU at KB<=16, and larger KB blows up the scalar LARFT-T graph.
-    Kept as an experimental lever (correct, tested) pending a
-    recursive-T / fatter-panel variant."""
+    """Default-ON gate + cached AOT compile probe for the MXU QR
+    (MC_TPU_QR256=0 disables). Measured on v5e at (64,256,256) f32:
+    3.69 ms vs XLA's 8.78 ms (2.4x) at equal accuracy (recon rel err
+    3.6e-7 vs 4.0e-7) — the recursive-T KB=64 super-panels plus
+    HIGHEST-precision dots fixed both of the KB=16 version's problems
+    (too-skinny trailing dots at 12.5 ms; bf16 MXU default giving 2e-1
+    reconstruction error). End-to-end at the L=16 (N=256) operating
+    point (64 chains, f32, sm=10): 126.7 vs 90.3 chain-sweeps/s (1.40x),
+    same acceptance."""
     import os
     env = os.environ.get("MC_TPU_QR256")
-    if env is None or env in ("0", "false", "off"):
+    if env in ("0", "false", "off"):
         return False
     if jax.default_backend() == "cpu":
         return True

@@ -169,11 +169,16 @@ def _mxu_wrap_block(Gv, A, Bt, srow_in, scol_in, srow_out, scol_out, N):
         M = M * srow_in
     if scol_in is not None:
         M = M * scol_in
-    # Z[a] = (M @ B)[a] = Bt @ M[a]
-    Z = jnp.stack([jnp.dot(Bt, M[a], preferred_element_type=jnp.float32)
+    # Z[a] = (M @ B)[a] = Bt @ M[a]. Explicit HIGHEST: production traces run
+    # under ctx.matmul_precision() so precision=None already canonicalizes to
+    # highest there, but standalone callers (microbenchmarks, tests) would
+    # otherwise get the MXU's single-bf16-pass default.
+    Z = jnp.stack([jnp.dot(Bt, M[a], preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
                    for a in range(N)])                     # (a, j, CB)
     Zt = jnp.swapaxes(Z, 0, 1)                             # (j, a, CB)
-    Wt = jnp.stack([jnp.dot(A, Zt[j], preferred_element_type=jnp.float32)
+    Wt = jnp.stack([jnp.dot(A, Zt[j], preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
                     for j in range(N)])                    # (j, i, CB)
     W = jnp.swapaxes(Wt, 0, 1)                             # (i, j, CB)
     if srow_out is not None:
@@ -502,12 +507,16 @@ def _sitemajor_delayed_kernel(lamb, signs, det_power, use_boson, N, F, CB,
             for c in range(CB):
                 A_c = A[:, c, :]                           # (DK,N)
                 B_c = B[:, c, :]                           # (DK,N)
+                # explicit HIGHEST (see _mxu_wrap_block): keeps the deferred
+                # block apply exact-f32 even outside ctx.matmul_precision()
                 upd = lax.dot_general(
                     A_c, B_c, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (N_r,N_n)
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)       # (N_r,N_n)
                 updT = lax.dot_general(
                     B_c, A_c, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (N_n,N_r)
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)       # (N_n,N_r)
                 G_ref[f, :, pl.ds(c, 1), :] = (
                     G_ref[f, :, pl.ds(c, 1), :] - upd[:, None, :])
                 Gt_ref[f, :, pl.ds(c, 1), :] = (
