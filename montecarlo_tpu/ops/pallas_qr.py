@@ -200,6 +200,211 @@ def _blocked_kernel(N, CB, KB, At_in, At_ref, Q_ref):
     block_apply(Q_ref, False)
 
 
+def _qr_kernel_vtau(N, CB, At_in, At_ref, Vt_ref, Tau_ref):
+    """Per-column Householder QR that emits the reflectors (V, tau) INSTEAD
+    of accumulating Q in-kernel. The Q update is exactly half of `_qr_kernel`'s
+    full-matrix VMEM passes (2 of 4 per column: the qw reduction + the rank-1
+    Q write-back); dropping it and assembling Q outside with batched MXU
+    matmuls (see `_wy_assemble_q`: Q = I − V·T·Vᵀ with T from ONE triangular
+    solve) trades ~half the VPU-bound kernel time for ~2 N³ MXU matmuls +
+    one trsm that XLA runs at full MXU rate. Same reflector math, signs and
+    zero-tail conventions as `_qr_kernel`.
+
+    Vt_ref: (N, N, CB) — row j holds v_j (zeros at rows < j, head at j).
+    Tau_ref: (N, 8, CB) — tau_j broadcast over the 8 sublanes (Mosaic wants
+    a >=8 sublane dim; the waste is N·8·CB·4 bytes)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        At_ref[...] = At_in[...]
+
+    x = At_ref[pl.ds(j, 1)]                                     # (1,N,CB)
+    r_ids = lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    onehot_j = jnp.where(r_ids == j, jnp.float32(1.0), jnp.float32(0.0))
+    tail = jnp.where(r_ids > j, jnp.float32(1.0), jnp.float32(0.0))
+
+    alpha = jnp.sum(x * onehot_j, axis=1, keepdims=True)        # (1,1,CB)
+    sigma = jnp.sum((x * tail) ** 2, axis=1, keepdims=True)     # (1,1,CB)
+    normx = jnp.sqrt(alpha * alpha + sigma)
+    s = jnp.where(alpha >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+    vj = alpha + s * normx
+    v = x * tail + vj * onehot_j                                # (1,N,CB)
+    vtv = sigma + vj * vj
+    tau = jnp.where(vtv > 0, 2.0 / vtv, jnp.float32(0.0))       # (1,1,CB)
+
+    At = At_ref[...]
+    w = jnp.sum(At * v, axis=1, keepdims=True)                  # (N,1,CB)
+    At_ref[...] = At - (tau * w) * v
+    rjj = -s * normx
+    At_ref[pl.ds(j, 1)] = x * (1.0 - tail - onehot_j) + rjj * onehot_j
+
+    Vt_ref[pl.ds(j, 1)] = v
+    Tau_ref[pl.ds(j, 1)] = jnp.broadcast_to(tau, (1, 8, CB))
+
+
+def _blocked_kernel_vtau(N, CB, KB, At_in, At_ref, Vt_ref, Tau_ref):
+    """Blocked-WY counterpart of `_qr_kernel_vtau` (same panel phase + LARFT
+    T as `_blocked_kernel`, which the in-kernel trailing update still needs),
+    with the Q block-apply dropped and (V, tau) emitted for the outside MXU
+    assembly."""
+    j0 = pl.program_id(1)
+    base = j0 * KB
+
+    @pl.when(j0 == 0)
+    def _init():
+        At_ref[...] = At_in[...]
+
+    r_ids = lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    p_ids = lax.broadcasted_iota(jnp.int32, (KB, 1, 1), 0)
+
+    P = At_ref[pl.ds(base, KB)]
+    vs, taus = [], []
+    for kb in range(KB):
+        j = base + kb
+        x = P[kb:kb + 1]                                        # (1,N,CB)
+        onehot_j = jnp.where(r_ids == j, jnp.float32(1.0), jnp.float32(0.0))
+        tail = jnp.where(r_ids > j, jnp.float32(1.0), jnp.float32(0.0))
+        alpha = jnp.sum(x * onehot_j, axis=1, keepdims=True)    # (1,1,CB)
+        sigma = jnp.sum((x * tail) ** 2, axis=1, keepdims=True)
+        normx = jnp.sqrt(alpha * alpha + sigma)
+        s = jnp.where(alpha >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+        vj = alpha + s * normx
+        v = x * tail + vj * onehot_j                            # (1,N,CB)
+        vtv = sigma + vj * vj
+        tau = jnp.where(vtv > 0, 2.0 / vtv, jnp.float32(0.0))   # (1,1,CB)
+        w = jnp.sum(P * v, axis=1, keepdims=True)               # (KB,1,CB)
+        P = P - (tau * w) * v
+        fin = x * (1.0 - tail - onehot_j) + (-s * normx) * onehot_j
+        P = jnp.where(p_ids == kb, fin, P)
+        vs.append(v)
+        taus.append(tau)
+    At_ref[pl.ds(base, KB)] = P
+    Vt_ref[pl.ds(base, KB)] = jnp.concatenate(vs, axis=0)
+    Tau_ref[pl.ds(base, KB)] = jnp.concatenate(
+        [jnp.broadcast_to(t, (1, 8, CB)) for t in taus], axis=0)
+
+    # forward LARFT (needed for the in-kernel trailing update only)
+    g = {}
+    for jj in range(1, KB):
+        for m in range(jj):
+            g[(m, jj)] = jnp.sum(vs[m] * vs[jj], axis=1, keepdims=True)
+    T = {}
+    for jj in range(KB):
+        T[(jj, jj)] = taus[jj]
+        for i in range(jj - 1, -1, -1):
+            acc = None
+            for m in range(i, jj):
+                term = T[(i, m)] * g[(m, jj)]
+                acc = term if acc is None else acc + term
+            T[(i, jj)] = -taus[jj] * acc
+
+    CH = 16 if N % 16 == 0 else (8 if N % 8 == 0 else KB)
+    for c0 in range(0, N, CH):
+        X = At_ref[pl.ds(c0, CH)]                 # (CH,N,CB)
+        ws = [jnp.sum(X * vs[k], axis=1, keepdims=True) for k in range(KB)]
+        upd = None
+        for k in range(KB):
+            z = None
+            for m in range(k + 1):               # T upper triangular
+                term = ws[m] * T[(m, k)]
+                z = term if z is None else z + term
+            t = z * vs[k]
+            upd = t if upd is None else upd + t
+        c_ids = c0 + lax.broadcasted_iota(jnp.int32, (CH, 1, 1), 0)
+        upd = jnp.where(c_ids >= base + KB, upd, jnp.float32(0.0))
+        At_ref[pl.ds(c0, CH)] = X - upd
+
+
+def _wy_assemble_q(V, tau):
+    """Q = H_0···H_{N-1} = I − V·T·Vᵀ from the reflectors, as batched MXU
+    matmuls + ONE batched triangular solve, via the inverse-T identity
+
+        T⁻¹ = striu(VᵀV) + diag(1/τ)
+
+    (read off the forward-LARFT recurrence T ← [[T, −T·(Vᵀv)·τ],[0, τ]]:
+    block-inverting it gives T⁻¹ ← [[T⁻¹, Vᵀv],[0, 1/τ]]). Columns with
+    τ = 0 have v = 0 (H = I) and drop out exactly: their S row is e_jᵀ and
+    their V column is zero. HIGHEST precision throughout — Q must be
+    orthonormal to f32 accuracy regardless of the caller's matmul default."""
+    hp = lax.Precision.HIGHEST
+    N = V.shape[-1]
+    Vt = jnp.swapaxes(V, -1, -2)
+    G = jnp.matmul(Vt, V, precision=hp)                       # VᵀV
+    tau_safe = jnp.where(tau > 0, tau, 1.0)
+    I = jnp.eye(N, dtype=V.dtype)
+    S = jnp.triu(G, 1) + (1.0 / tau_safe)[..., :, None] * I
+    X = lax.linalg.triangular_solve(S, Vt, left_side=True,
+                                    lower=False)              # X = T·Vᵀ
+    return I - jnp.matmul(V, X, precision=hp)
+
+
+def _qr_batched_vtau(A, panel=None):
+    """Householder QR of A (B, N, N) f32 → (Q, R) via the V+tau kernels +
+    outside WY Q assembly (`_wy_assemble_q`)."""
+    B, N, _ = A.shape
+    kb = panel if panel is not None else (
+        PANEL if PANEL is not None else _auto_panel(N))
+    CB = _pick_chain_block(B) if N <= 64 else B
+    interpret = jax.default_backend() == "cpu"
+    At = jnp.transpose(A, (2, 1, 0))                            # (col,row,B)
+    i32 = jnp.int32
+    spec = pl.BlockSpec((N, N, CB), lambda cb, j: (i32(0), i32(0), cb))
+    tau_spec = pl.BlockSpec((N, 8, CB), lambda cb, j: (i32(0), i32(0), cb))
+    if kb > 1 and N % kb == 0:
+        kern = functools.partial(_blocked_kernel_vtau, N, CB, kb)
+        grid = (B // CB, N // kb)
+    else:
+        kern = functools.partial(_qr_kernel_vtau, N, CB)
+        grid = (B // CB, N)
+    At_out, Vt_out, Tau_out = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=grid,
+        in_specs=[spec],
+        out_specs=[spec, spec, tau_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, N, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, N, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, 8, B), jnp.float32),
+        ],
+    )(At)
+    R = jnp.transpose(At_out, (2, 1, 0))
+    V = jnp.transpose(Vt_out, (2, 1, 0))                        # (B,row,col)
+    tau = jnp.transpose(Tau_out[:, 0, :], (1, 0))               # (B,N)
+    return _wy_assemble_q(V, tau), R
+
+
+def qr_lanes_wy():
+    """qr_lanes with the V+tau kernel + outside MXU Q assembly."""
+    if "fn_wy" in _QR_CACHE:
+        return _QR_CACHE["fn_wy"]
+
+    @custom_vmap
+    def qr(A):
+        lead = A.shape[:-2]
+        N = A.shape[-1]
+        Af = A.reshape((-1, N, N))
+        from .pallas_util import map_lane_chunks
+        Q, R = map_lane_chunks(_qr_batched_vtau, Af)
+        return Q.reshape(lead + (N, N)), R.reshape(lead + (N, N))
+
+    @qr.def_vmap
+    def _rule(axis_size, in_batched, A):
+        return qr(A), (True, True)
+
+    _QR_CACHE["fn_wy"] = qr
+    return qr
+
+
+def _wy_enabled() -> bool:
+    """Experimental flag for the V+tau QR on the N <= 128 f32 path
+    (MC_TPU_QR_WY=1 enables). Off by default pending on-device measurement
+    against the in-kernel-Q kernels."""
+    import os
+    return os.environ.get("MC_TPU_QR_WY", "0") not in ("0", "false", "off")
+
+
 def _qr_kernel_cx(N, CB, Ar_in, Ai_in, Ar_ref, Ai_ref, Qr_ref, Qi_ref):
     """Complex64 Householder QR on two f32 planes (re, im), one grid step =
     one column j (grid = (n_cb, N)). Same layout discipline as `_qr_kernel`:
@@ -757,5 +962,7 @@ def maybe_qr(A):
             return jnp.linalg.qr(A)  # probe failed: XLA complex QR
         if N > 128:
             return qr_lanes_mxu()(A)
+        if _wy_enabled():
+            return qr_lanes_wy()(A)
         return qr_lanes()(A)
     return jnp.linalg.qr(A)

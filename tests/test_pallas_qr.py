@@ -280,3 +280,69 @@ def test_udt_dirty_complex_contract_with_kernel():
     assert np.all(np.asarray(D) > 0)
     dd = np.abs(np.diagonal(np.asarray(R), axis1=-2, axis2=-1))
     np.testing.assert_allclose(dd, 1.0, atol=1e-4)
+
+
+def _check_qr_wy(A, rtol=2e-5):
+    Q, R = pallas_qr.qr_lanes_wy()(A)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    scale = np.maximum(1.0, np.max(np.abs(np.asarray(A)), axis=(-2, -1),
+                                   keepdims=True))
+    np.testing.assert_allclose(np.asarray(Q @ R) / scale,
+                               np.asarray(A) / scale, atol=rtol * n)
+    ortho = np.asarray(jnp.swapaxes(Q, -1, -2) @ Q - eye)
+    assert np.max(np.abs(ortho)) < rtol * n, np.max(np.abs(ortho))
+    lower = np.tril(np.asarray(R), -1)
+    assert np.max(np.abs(lower) / scale[..., 0, 0, None, None]) < 1e-6
+
+
+def test_qr_wy_random_batch():
+    """V+tau kernel + outside MXU WY assembly (per-column path, N<=64)."""
+    key = jax.random.PRNGKey(13)
+    A = jax.random.normal(key, (16, 16, 16), jnp.float32)
+    _check_qr_wy(A)
+
+
+def test_qr_wy_graded_columns():
+    key = jax.random.PRNGKey(14)
+    A = jax.random.normal(key, (8, 32, 32), jnp.float32)
+    A = (A * jnp.exp(jnp.linspace(12.0, -12.0, 32))[None, None, :]
+         ).astype(jnp.float32)
+    _check_qr_wy(A)
+
+
+def test_qr_wy_blocked_panel():
+    """The blocked V+tau kernel (panel > 1, the N > 64 route) against the
+    per-column in-kernel-Q result: same Householder conventions, so Q and R
+    agree up to f32 rounding."""
+    key = jax.random.PRNGKey(15)
+    A = jax.random.normal(key, (8, 32, 32), jnp.float32)
+    A = (A * jnp.exp(jnp.linspace(8.0, -8.0, 32))[None, None, :]
+         ).astype(jnp.float32)
+    Qw, Rw = jax.jit(lambda A: pallas_qr._qr_batched_vtau(A, panel=8))(A)
+    Q1, R1 = jax.jit(lambda A: pallas_qr._qr_batched(A, panel=1))(A)
+    np.testing.assert_allclose(np.asarray(Qw), np.asarray(Q1), atol=2e-4)
+    scale = np.maximum(1.0, np.max(np.abs(np.asarray(A))))
+    np.testing.assert_allclose(np.asarray(Rw) / scale,
+                               np.asarray(R1) / scale, atol=2e-4)
+
+
+def test_qr_wy_zero_tail_tau_zero():
+    """tau = 0 columns (already-triangular input) must drop out of the WY
+    assembly exactly (v = 0, S row = e_j) — no NaN, H = I semantics."""
+    key = jax.random.PRNGKey(16)
+    R0 = jnp.triu(jax.random.normal(key, (8, 16, 16), jnp.float32))
+    Q, R = pallas_qr.qr_lanes_wy()(R0)
+    assert np.all(np.isfinite(np.asarray(Q)))
+    np.testing.assert_allclose(np.asarray(Q @ R), np.asarray(R0), atol=1e-4)
+
+
+def test_qr_wy_matches_inkernel_q():
+    """Same reflectors either way: the outside-assembled Q equals the
+    in-kernel accumulated Q up to f32 rounding."""
+    key = jax.random.PRNGKey(17)
+    A = jax.random.normal(key, (8, 16, 16), jnp.float32)
+    Qw, Rw = pallas_qr.qr_lanes_wy()(A)
+    Q, R = pallas_qr.qr_lanes()(A)
+    np.testing.assert_allclose(np.asarray(Qw), np.asarray(Q), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Rw), np.asarray(R), atol=2e-5)
