@@ -399,8 +399,15 @@ def qr_lanes_wy():
 
 def _wy_enabled() -> bool:
     """Experimental flag for the V+tau QR on the N <= 128 f32 path
-    (MC_TPU_QR_WY=1 enables). Off by default pending on-device measurement
-    against the in-kernel-Q kernels."""
+    (MC_TPU_QR_WY=1 enables). MEASURED AND RETIRED on v5e at N=64: the
+    outside WY assembly loses end-to-end everywhere — headline sm=10
+    4301 -> 3848 cs/s, sm=1 821 -> 664, g_refresh sm=5 1154 -> 963 — and
+    the assembled Q is less orthogonal (sm=10 drift_max 2.1e3 -> 3.2e4).
+    At N=64 the two extra N^3 MXU matmuls plus the T triangular solve cost
+    more than the in-kernel Q update they replace (per-chain 64-wide dots
+    underfill the 128-wide MXU), and I - V.T.Vt amplifies reflector
+    rounding that the column-by-column Q accumulation averages out. Kept
+    for experimentation at larger N <= 128 shapes only."""
     import os
     return os.environ.get("MC_TPU_QR_WY", "0") not in ("0", "false", "off")
 
