@@ -7,18 +7,32 @@ matching the reference's sweep definition (run! loop, DQMC.jl:420-436).
 A secondary Ising spin-flips/sec metric (8x8, 256 chains) is included as an
 extra field.
 
+DEADLINE DISCIPLINE (VERDICT r3 task 1): round 3's bench was killed by the
+driver (rc=124) and recorded nothing. This driver now (a) enables the
+persistent XLA compile cache (round 3's 16-minute headline phase was almost
+entirely jit compilation; a warm cache replays it in seconds — measured
+12.1 s -> 0.8 s cross-process on the axon backend), (b) runs phases in
+priority order under a global BENCH_DEADLINE_S budget, skipping what no
+longer fits, (c) emits the final JSON line with whatever completed plus a
+"skipped_phases" list the moment the budget is exhausted, and (d) installs a
+SIGTERM handler that emits the partial record immediately if the driver's
+timeout fires anyway. Per-phase wall times land in "phase_s" so any future
+slowdown is diagnosable from the artifact alone.
+
 Sanity: `sanity_ok` is a CALIBRATED per-mode criterion (VERDICT r1 task 2),
 not an acceptance band. For f32 modes it is an on-device matched-seed
 cross-safe_mult validation (montecarlo_tpu.validation.cross_sm_check), pooled
 over two independent seeds: the candidate mode must reproduce occupation AND
 the correlators (CDC, PC, SDCz) AND the tau-integrated susceptibilities
 (CDS, PS — the longest-unstabilized-window stress test) of the drift-proof
-safe_mult=1 anchor within Bonferroni-scaled standard-error bounds.
+safe_mult=1 anchor within Bonferroni-scaled standard-error bounds. The sm=1
+anchor pool is computed ONCE and shared by the headline and g_refresh gates
+(they compare against the same anchor mode). The L=16 and complex (Peierls)
+operating points carry their OWN cross-sm gates (VERDICT r3 task 2) in
+`l16_mode.cross_sm_validation` / `complex_mode.cross_sm_validation`.
 For f64 the criterion is the reference's drift alarm (max window-end drift
 < 1e-6; reference threshold 1e-7 per stabilization, stack.jl:530-550).
-Window-end drift quantile diagnostics (mean + exceedance histogram over
-core.PROP_ERR_EDGES) are reported alongside. Set BENCH_VALIDATE=0 to skip
-the ~3 min cross-sm run (sanity_ok is then null, not true).
+Set BENCH_VALIDATE=0 to skip all cross-sm gates (sanity_ok is then null).
 
 vs_baseline: the reference (ffreyer/MonteCarlo.jl) publishes no numbers and
 Julia is not available in this image; the baseline is an estimate of the
@@ -29,23 +43,44 @@ small-matrix f64 work at ~12 GFLOP/s effective (LoopVectorization @avx on
 
 import json
 import os
+import signal
 import sys
 import time
 from functools import partial
 
+T0 = time.time()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1140"))
+RESERVE_S = 20.0  # emit + teardown slack held back from every phase decision
+
 
 def _progress(msg):
     """Phase progress on stderr (stdout stays the single JSON line)."""
-    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
-          flush=True)
+    print(f"[bench {time.strftime('%H:%M:%S')} +{time.time() - T0:5.0f}s] "
+          f"{msg}", file=sys.stderr, flush=True)
+
 
 import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: round 3's rc=124 was ~all compile time. Entries
+# are keyed on the HLO + compile options, so code changes invalidate exactly
+# the affected programs. Disable with BENCH_CACHE_DIR="".
+_cache_dir = os.environ.get(
+    "BENCH_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_bench_cache"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp  # noqa: E402
 
 BASELINE_EST_SWEEPS_PER_S = 20.0
+# strict-f64 throughput bound measured r2 on v5e (256 chains, sm=10); the
+# regression assertion below warns if a round drops >30% under it
+F64_BOUND_SWEEPS_PER_S = 24.0
 
 N_CHAINS = int(os.environ.get("BENCH_CHAINS", "256"))
 L = int(os.environ.get("BENCH_L", "8"))
@@ -59,12 +94,72 @@ SWEEPS = int(os.environ.get("BENCH_SWEEPS", "6"))
 # mode.
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 SAFE_MULT = int(os.environ.get("BENCH_SAFE_MULT", "10"))
-# default ON: the fused chain-batched Pallas site sweep measured 2154
-# sweeps/s vs 1373 for the XLA path at the headline config (v5e, f32,
-# sm=10), physics-validated on device (occ unbiased at 8x8 + the cross-sm
-# gate below). BENCH_PALLAS=0 selects the plain XLA hot path.
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 VALIDATE = os.environ.get("BENCH_VALIDATE", "1") == "1"
+REFRESH_SM = int(os.environ.get("BENCH_REFRESH_SM", "5"))
+# complex (Peierls) shipped safe_mult — its own cross-sm gate below validates
+# exactly this value; if the gate fails the shipped value must drop
+CPLX_SM = int(os.environ.get("BENCH_CPLX_SM", str(SAFE_MULT)))
+
+PHASE_S = {}
+SKIPPED = []
+RESULT = {}  # mutated in place; emitted by _emit (possibly from SIGTERM)
+_EMITTED = False
+
+
+def time_left():
+    return DEADLINE_S - (time.time() - T0)
+
+
+def _emit(partial_reason=None):
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    out = dict(RESULT)
+    out.setdefault("metric",
+                   f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
+                   f"{N_CHAINS} chains)")
+    out.setdefault("value", None)
+    out.setdefault("unit", "sweeps/s")
+    out.setdefault("vs_baseline", None)
+    out["deadline_s"] = DEADLINE_S
+    out["elapsed_s"] = round(time.time() - T0, 1)
+    out["phase_s"] = PHASE_S
+    out["skipped_phases"] = SKIPPED
+    if partial_reason:
+        out["partial"] = partial_reason
+    print(json.dumps(out), flush=True)
+
+
+def _sigterm(signum, frame):  # pragma: no cover - driver timeout path
+    _progress("SIGTERM received — emitting partial record")
+    _emit(partial_reason="SIGTERM (driver timeout) — partial record")
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _sigterm)
+
+
+def phase(name, est_s, fn, enabled=True, required=False):
+    """Run one bench phase under the global deadline. Returns fn() or None
+    (skipped), or {"error": repr} on exception. est_s is the worst-case
+    (cold-cache) estimate used only for the skip decision."""
+    if not enabled:
+        return None
+    if not required and time_left() < est_s + RESERVE_S:
+        SKIPPED.append(name)
+        _progress(f"SKIP {name} ({time_left():.0f}s left < est {est_s:.0f}s)")
+        return None
+    _progress(f"{name} (est {est_s:.0f}s, {time_left():.0f}s left)")
+    t0 = time.time()
+    try:
+        out = fn()
+    except Exception as err:  # pragma: no cover
+        out = {"error": repr(err)}
+        _progress(f"{name} FAILED: {err!r}")
+    PHASE_S[name] = round(time.time() - t0, 1)
+    return out
 
 
 def bench_dqmc(safe_mult=SAFE_MULT, g_refresh=False, dtype=None,
@@ -165,12 +260,17 @@ def bench_susceptibility():
     return (time.time() - t0) / 16
 
 
+def _gate_fields(g):
+    return {k: g[k] for k in ("ok", "seeds", "z", "z_tol", "candidate",
+                              "anchor") if k in g}
+
+
 def _backend_watchdog():
     """The tunneled TPU backend blocks INDEFINITELY in init while the device
     pool is unavailable (observed: >2 h during round 3). Rather than hang the
     driver and record nothing, probe device init on a daemon thread and emit
     a diagnostic JSON line if it does not complete within
-    BENCH_INIT_TIMEOUT_S (default 900 s)."""
+    BENCH_INIT_TIMEOUT_S (default: half the deadline, capped at 600 s)."""
     import threading
     ok = threading.Event()
     err_box = []
@@ -184,7 +284,8 @@ def _backend_watchdog():
 
     t = threading.Thread(target=_init, daemon=True)
     t.start()
-    timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+    timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_S",
+                                   str(min(600.0, DEADLINE_S / 2))))
     _progress(f"waiting for backend init (up to {timeout:.0f}s)")
     t.join(timeout)
     if not ok.is_set():
@@ -193,181 +294,195 @@ def _backend_watchdog():
         else:
             msg = (f"backend init did not complete within {timeout:.0f}s "
                    "— TPU pool unavailable")
-        # flush=True: os._exit bypasses the stdio flush, and a block-buffered
-        # pipe would otherwise swallow the only record of this run
-        print(json.dumps({
-            "metric": f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
-                      f"{N_CHAINS} chains)",
-            "value": None,
-            "unit": "sweeps/s",
-            "vs_baseline": None,
-            "error": msg,
-        }), flush=True)
+        RESULT["error"] = msg
+        _emit()
         os._exit(0)
 
 
 def main():
     _backend_watchdog()
-    _progress("headline dqmc")
-    sweeps_per_s, s_per_sweep, drift, acc = bench_dqmc()
-    # drift-proof conservative mode (f32 + safe_mult=1): the anchor whose
-    # window-end drift matches reference-grade stabilization; reported every
-    # round alongside the headline (VERDICT r2 task 2)
-    sm1_sweeps_per_s = None
-    if SAFE_MULT != 1 and os.environ.get("BENCH_SM1", "1") == "1":
-        try:
-            _progress("sm=1 anchor mode")
-            sm1_sweeps_per_s, _, _, _ = bench_dqmc(safe_mult=1)
-        except Exception:  # pragma: no cover
-            sm1_sweeps_per_s = None
-    # g_refresh conservative mode (VERDICT r2 task 2): per-slice exact G
-    # recomputation from deferred factor windows — wrap-free propagation at
-    # ~1.4x the sm=1 anchor's speed. Validated by its own cross-sm gate below.
-    refresh_mode = None
-    REFRESH_SM = int(os.environ.get("BENCH_REFRESH_SM", "5"))
-    if os.environ.get("BENCH_REFRESH", "1") == "1":
-        try:
-            _progress("g_refresh conservative mode")
-            r_sps, _, r_drift, _ = bench_dqmc(safe_mult=REFRESH_SM,
-                                              g_refresh=True)
-            refresh_mode = {"kind": "g_refresh", "safe_mult": REFRESH_SM,
-                            "sweeps_per_s": round(r_sps, 3),
-                            "vs_baseline": round(
-                                r_sps / BASELINE_EST_SWEEPS_PER_S, 3),
-                            "propagation_drift": r_drift}
-        except Exception as err:  # pragma: no cover
-            refresh_mode = {"error": repr(err)}
-    # strict-f64 validation mode: measured every round so regressions are
-    # visible (VERDICT r2 task 8 — documented position: f64 on TPU is the
-    # validation-only mode, bounded by QR under double-float emulation)
-    f64_mode = None
-    if DTYPE != "float64" and os.environ.get("BENCH_F64", "1") == "1":
-        try:
-            _progress("strict-f64 mode")
-            f_sps, _, f_drift, _ = bench_dqmc(dtype="float64", sweeps=2)
-            f64_mode = {"sweeps_per_s": round(f_sps, 3),
-                        "drift_max": f_drift["max"]}
-        except Exception as err:  # pragma: no cover
-            f64_mode = {"error": repr(err)}
-    # L=16 (N=256) operating point: exercises the site-major Pallas kernel
-    # (chains on sublanes) past the N=128 chain-on-lanes cap — measured every
-    # round so the large-lattice scaling story is in the bench record
-    # (VERDICT r2 task 4). 64 chains matches the ROADMAP L=16 comparison row.
-    l16_mode = None
-    if L < 16 and os.environ.get("BENCH_L16", "1") == "1":
-        try:
-            _progress("L=16 site-major mode")
-            l_sps, _, l_drift, l_acc = bench_dqmc(sweeps=2, lattice_L=16,
-                                                  chains=64)
-            l16_mode = {"chains": 64, "chain_sweeps_per_s": round(l_sps, 3),
-                        "drift_max": l_drift["max"],
-                        "acceptance": round(l_acc, 4)}
-        except Exception as err:  # pragma: no cover
-            l16_mode = {"error": repr(err)}
-    # complex-hopping (Peierls) mode at the headline config: pure-gauge
-    # complex64 session — exercises the two-plane fused site-sweep + QR
-    # kernels; mean phase must stay 1 (pure gauge). BENCH_CPLX=0 opts out.
-    cplx_mode = None
-    if DTYPE == "float32" and os.environ.get("BENCH_CPLX", "1") == "1":
-        try:
-            _progress("complex (Peierls) mode")
-            # ONE shared protocol with the standalone script (same session
-            # setup, warmup/host-fetch sync, transfer-safe phase readout)
-            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-            from benchmarks.complex_bench import run_complex_bench
-            cplx_mode = run_complex_bench(chains=N_CHAINS, L=L, beta=BETA,
-                                          sweeps=2, safe_mult=SAFE_MULT,
-                                          use_pallas=USE_PALLAS)
-        except Exception as err:  # pragma: no cover
-            cplx_mode = {"error": repr(err)}
-    try:
-        _progress("ising")
-        ising_flips = bench_ising()
-    except Exception:
-        ising_flips = None
-    # full susceptibility set cost — measured EVERY round (VERDICT r2 task 3);
-    # BENCH_SUSC=0 opts out
-    susc_s = None
-    if os.environ.get("BENCH_SUSC", "1") == "1":
-        try:
-            _progress("susceptibility set")
-            susc_s = round(bench_susceptibility(), 4)
-        except Exception:  # pragma: no cover
-            susc_s = None
 
-    sanity = None
-    cross_sm = None
-    if DTYPE == "float64":
-        sanity = drift["max"] < 1e-6 and 0.3 < acc < 0.95
-    elif VALIDATE:
-        from montecarlo_tpu.validation import cross_sm_check
-        try:
-            _progress("cross-sm gate (headline mode)")
-            cross_sm = cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
-                                      safe_mult=SAFE_MULT,
-                                      use_pallas=USE_PALLAS)
-            sanity = bool(cross_sm["ok"]) and 0.3 < acc < 0.95
-        except Exception as err:  # pragma: no cover
-            cross_sm = {"error": repr(err)}
-            sanity = False
-        if refresh_mode is not None and "error" not in refresh_mode:
-            try:
-                _progress("cross-sm gate (g_refresh mode)")
-                rgate = cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
-                                       safe_mult=REFRESH_SM, g_refresh=True,
-                                       use_pallas=USE_PALLAS)
-                refresh_mode["cross_sm_validation"] = {
-                    k: rgate[k] for k in ("ok", "seeds", "z", "z_tol",
-                                          "candidate", "anchor")}
-                sanity = sanity and bool(rgate["ok"])
-            except Exception as err:  # pragma: no cover
-                refresh_mode["cross_sm_validation"] = {"error": repr(err)}
-    print(json.dumps({
-        "metric": f"DQMC sweeps/sec ({L}x{L} Hubbard, beta={BETA}, "
-                  f"{N_CHAINS} chains)",
+    # ---- 1. headline (required: this IS the metric) --------------------
+    head = phase("headline", 700, bench_dqmc, required=True)
+    if not isinstance(head, tuple):
+        RESULT["error"] = (head or {}).get("error", "headline failed")
+        _emit()
+        return
+    sweeps_per_s, s_per_sweep, drift, acc = head
+    RESULT.update({
         "value": round(sweeps_per_s, 3),
-        "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_s / BASELINE_EST_SWEEPS_PER_S, 3),
         "dtype": DTYPE,
         "safe_mult": SAFE_MULT,
         "use_pallas": USE_PALLAS,
         "chains": N_CHAINS,
         "s_per_batched_sweep": round(s_per_sweep, 3),
-        # drift-proof f32+sm=1 conservative mode (reference-grade window
-        # drift); target: >= 1000 sweeps/s = 50x the baseline estimate
-        "sm1_sweeps_per_s": (None if sm1_sweeps_per_s is None
-                             else round(sm1_sweeps_per_s, 3)),
-        # wrap-free per-slice-recompute conservative mode (g_refresh):
-        # >= 1000 sweeps/s with near-anchor drift
-        "conservative_mode": refresh_mode,
-        # strict-f64 (validation-only on TPU): pinned so regressions show
-        "f64_mode": f64_mode,
-        # L=16 / N=256 large-lattice point (site-major Pallas kernel)
-        "l16_mode": l16_mode,
-        # complex-hopping (Peierls) point: two-plane fused kernels
-        "complex_mode": cplx_mode,
         "propagation_drift": drift,
         "acceptance": round(acc, 4),
-        "sanity_ok": sanity,
-        "cross_sm_validation": ({k: cross_sm[k] for k in
-                                 ("ok", "seeds", "z", "z_tol", "candidate",
-                                  "anchor")
-                                 if k in cross_sm}
-                                if isinstance(cross_sm, dict) else None),
-        "ising_spin_flips_per_s": None if ising_flips is None else round(ising_flips),
-        # seconds per measured sweep with the full susceptibility set
-        # (CDS+PS+SDSz+CCS every sweep, public API); default-on
-        "susceptibility_s_per_measured_sweep": susc_s,
-        "baseline_estimate_note": "reference CPU single-core estimate, "
-                                  "20 sweeps/s (no published numbers); "
-                                  "measured in-image anchor: 3.96 sweeps/s "
-                                  "for a single-chain numpy/BLAS f64 "
-                                  "implementation of the same hot loop "
-                                  "(benchmarks/cpu_reference.py; simplified "
-                                  "stabilization, i.e. optimistic) — the "
-                                  "20/s estimate stays as a conservative "
-                                  "bound for the reference's @avx Julia",
-    }))
+        "baseline_estimate_note":
+            "reference CPU single-core estimate, 20 sweeps/s (no published "
+            "numbers); measured in-image anchor: 3.96 sweeps/s for a "
+            "single-chain numpy/BLAS f64 implementation of the same hot "
+            "loop (benchmarks/cpu_reference.py; simplified stabilization, "
+            "i.e. optimistic) — the 20/s estimate stays as a conservative "
+            "bound for the reference's @avx Julia",
+    })
+
+    # ---- 2. cross-sm gate, headline mode (stores the shared anchor) ----
+    anchor_pool = None
+    sanity = None
+    if DTYPE == "float64":
+        sanity = drift["max"] < 1e-6 and 0.3 < acc < 0.95
+    elif VALIDATE:
+        def _headline_gate():
+            from montecarlo_tpu.validation import cross_sm_check
+            return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
+                                  safe_mult=SAFE_MULT, use_pallas=USE_PALLAS)
+        g = phase("gate_headline", 320, _headline_gate)
+        if isinstance(g, dict) and "ok" in g:
+            anchor_pool = g.pop("_anchor_pool", None)
+            RESULT["cross_sm_validation"] = _gate_fields(g)
+            sanity = bool(g["ok"]) and 0.3 < acc < 0.95
+        elif g is not None:
+            RESULT["cross_sm_validation"] = g  # {"error": ...}
+            sanity = False
+    RESULT["sanity_ok"] = sanity
+
+    # ---- 3. g_refresh conservative mode + gate (reuses the anchor) -----
+    refresh_mode = phase(
+        "g_refresh", 90,
+        lambda: (lambda r: {"kind": "g_refresh", "safe_mult": REFRESH_SM,
+                            "sweeps_per_s": round(r[0], 3),
+                            "vs_baseline": round(
+                                r[0] / BASELINE_EST_SWEEPS_PER_S, 3),
+                            "propagation_drift": r[2]})(
+            bench_dqmc(safe_mult=REFRESH_SM, g_refresh=True)),
+        enabled=os.environ.get("BENCH_REFRESH", "1") == "1")
+    if (isinstance(refresh_mode, dict) and "error" not in refresh_mode
+            and VALIDATE and DTYPE != "float64"):
+        def _refresh_gate():
+            from montecarlo_tpu.validation import cross_sm_check
+            return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
+                                  safe_mult=REFRESH_SM, g_refresh=True,
+                                  use_pallas=USE_PALLAS,
+                                  anchor_pool=anchor_pool)
+        g = phase("gate_g_refresh", 200 if anchor_pool is not None else 320,
+                  _refresh_gate)
+        if isinstance(g, dict) and "ok" in g:
+            g.pop("_anchor_pool", None)
+            refresh_mode["cross_sm_validation"] = _gate_fields(g)
+            RESULT["sanity_ok"] = (RESULT["sanity_ok"] and bool(g["ok"])
+                                   if RESULT["sanity_ok"] is not None
+                                   else bool(g["ok"]))
+        elif g is not None:
+            refresh_mode["cross_sm_validation"] = g
+    RESULT["conservative_mode"] = refresh_mode
+
+    # ---- 4. drift-proof sm=1 anchor throughput --------------------------
+    sm1 = phase("sm1_anchor", 60,
+                lambda: round(bench_dqmc(safe_mult=1, sweeps=2)[0], 3),
+                enabled=(SAFE_MULT != 1
+                         and os.environ.get("BENCH_SM1", "1") == "1"))
+    RESULT["sm1_sweeps_per_s"] = sm1 if not isinstance(sm1, dict) else sm1
+
+    # ---- 5. susceptibility set cost -------------------------------------
+    susc = phase("susceptibility", 120,
+                 lambda: round(bench_susceptibility(), 4),
+                 enabled=os.environ.get("BENCH_SUSC", "1") == "1")
+    RESULT["susceptibility_s_per_measured_sweep"] = susc
+
+    # ---- 6. L=16 (N=256) operating point + its own cross-sm gate --------
+    # gate protocol: same kernels as shipped (site-major delayed + MXU QR)
+    # at the shipped safe_mult vs the sm=1 anchor with the same kernels, at
+    # beta=2 (same 10-slice stabilization windows as the headline; full
+    # beta=10 at sm=1/N=256 costs ~hours and lives in VALIDATION.md instead)
+    l16_mode = None
+    if L < 16 and os.environ.get("BENCH_L16", "1") == "1":
+        def _l16():
+            sps, _, d, a = bench_dqmc(sweeps=2, lattice_L=16, chains=64)
+            return {"chains": 64, "chain_sweeps_per_s": round(sps, 3),
+                    "drift_max": d["max"], "acceptance": round(a, 4)}
+        l16_mode = phase("l16", 180, _l16)
+        if (isinstance(l16_mode, dict) and "error" not in l16_mode
+                and VALIDATE and DTYPE != "float64"
+                and os.environ.get("BENCH_L16_GATE", "1") == "1"):
+            def _l16_gate():
+                from montecarlo_tpu.validation import (EQUAL_TIME_OBSERVABLES,
+                                                       cross_sm_check)
+                return cross_sm_check(
+                    L=16, beta=float(os.environ.get("BENCH_L16_GATE_BETA",
+                                                    "2.0")),
+                    dtype=DTYPE, safe_mult=SAFE_MULT, use_pallas=USE_PALLAS,
+                    n_chains=32, sweeps=200, thermalization=60,
+                    observables=EQUAL_TIME_OBSERVABLES)
+            g = phase("gate_l16", 330, _l16_gate)
+            if isinstance(g, dict) and "ok" in g:
+                g.pop("_anchor_pool", None)
+                l16_mode["cross_sm_validation"] = _gate_fields(g)
+                l16_mode["cross_sm_validation"]["beta"] = float(
+                    os.environ.get("BENCH_L16_GATE_BETA", "2.0"))
+            elif g is not None:
+                l16_mode["cross_sm_validation"] = g
+    RESULT["l16_mode"] = l16_mode
+
+    # ---- 7. complex (Peierls) mode + its own cross-sm gate --------------
+    cplx_mode = None
+    if DTYPE == "float32" and os.environ.get("BENCH_CPLX", "1") == "1":
+        def _cplx():
+            # ONE shared protocol with the standalone script (same session
+            # setup, warmup/host-fetch sync, transfer-safe phase readout)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from benchmarks.complex_bench import run_complex_bench
+            return run_complex_bench(chains=N_CHAINS, L=L, beta=BETA,
+                                     sweeps=2, safe_mult=CPLX_SM,
+                                     use_pallas=USE_PALLAS)
+        cplx_mode = phase("complex", 150, _cplx)
+        if (isinstance(cplx_mode, dict) and "error" not in cplx_mode
+                and VALIDATE
+                and os.environ.get("BENCH_CPLX_GATE", "1") == "1"):
+            def _cplx_gate():
+                import numpy as np
+                from montecarlo_tpu.validation import cross_sm_check
+                # the SAME pure-gauge pattern the complex throughput phase
+                # runs (complex_bench.py): random site phases, complex64
+                rng = np.random.default_rng(0)
+                phis = rng.uniform(0.0, 2 * np.pi, L * L)
+                theta = phis[:, None] - phis[None, :]
+                return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
+                                      safe_mult=CPLX_SM,
+                                      use_pallas=USE_PALLAS, peierls=theta)
+            g = phase("gate_complex", 330, _cplx_gate)
+            if isinstance(g, dict) and "ok" in g:
+                g.pop("_anchor_pool", None)
+                cplx_mode["cross_sm_validation"] = _gate_fields(g)
+            elif g is not None:
+                cplx_mode["cross_sm_validation"] = g
+    RESULT["complex_mode"] = cplx_mode
+
+    # ---- 8. strict-f64 validation mode (pinned every round) -------------
+    f64_mode = None
+    if DTYPE != "float64" and os.environ.get("BENCH_F64", "1") == "1":
+        def _f64():
+            sps, _, d, _ = bench_dqmc(dtype="float64", sweeps=1)
+            return {"sweeps_per_s": round(sps, 3), "drift_max": d["max"],
+                    "bound_sweeps_per_s": F64_BOUND_SWEEPS_PER_S,
+                    "regression_ok": bool(
+                        sps >= 0.7 * F64_BOUND_SWEEPS_PER_S)}
+        f64_mode = phase("f64", 180, _f64)
+    RESULT["f64_mode"] = f64_mode
+
+    # ---- 9. chain-scaling point (512-chain saturation, VERDICT r3 #7) ---
+    c512 = phase("chains512", 90,
+                 lambda: round(bench_dqmc(chains=512, sweeps=2)[0], 3),
+                 enabled=os.environ.get("BENCH_C512", "1") == "1")
+    RESULT["chains512_sweeps_per_s"] = c512
+
+    # ---- 10. Ising secondary metric -------------------------------------
+    ising = phase("ising", 120, bench_ising)
+    RESULT["ising_spin_flips_per_s"] = (round(ising) if isinstance(
+        ising, (int, float)) else ising)
+
+    _emit()
 
 
 if __name__ == "__main__":

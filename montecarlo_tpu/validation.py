@@ -14,18 +14,27 @@ framework measures (reference accuracy gates for the same iterators:
 `cross_sm_check` runs the candidate mode and the sm=1 anchor back to back
 over >= 2 independent seeds (chains pool across seeds — they are all
 independent) and returns per-observable z-scores; `bench.py` gates its
-`sanity_ok` on it (VERDICT r1 task 2 + r2 task 1). Reference alarm semantics
-being calibrated here: src/flavors/DQMC/stack.jl:530-550 (1e-7 per
-stabilization in f64).
+`sanity_ok` on it (VERDICT r1 task 2 + r2 task 1). The check is
+parameterized over lattice size, inverse temperature, and Peierls phases
+(complex sessions), so the SAME gate covers the headline, g_refresh, L=16,
+and complex operating points (VERDICT r3 task 2). When several gates share
+one anchor configuration, compute the anchor once with `pooled_run` and
+pass it via `anchor_pool=` — the anchor run is the expensive half of each
+gate. Reference alarm semantics being calibrated here:
+src/flavors/DQMC/stack.jl:530-550 (1e-7 per stabilization in f64).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
 DEFAULT_OBSERVABLES = ("occ", "greens", "CDC", "PC", "SDCz", "CDS", "PS")
+# equal-time-only subset for operating points where the combined-greens
+# iterator is too expensive for an in-bench gate (L=16); still includes the
+# full correlator set, just not the tau-integrated susceptibilities
+EQUAL_TIME_OBSERVABLES = ("occ", "greens", "CDC", "PC", "SDCz")
 
 
 def _run_one(model_kwargs, dqmc_kwargs, observables=DEFAULT_OBSERVABLES):
@@ -60,71 +69,107 @@ def _run_one(model_kwargs, dqmc_kwargs, observables=DEFAULT_OBSERVABLES):
     return out
 
 
-def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
-                   mu: float = 0.0, dtype: str = "float32",
-                   safe_mult: int = 10, anchor_sm: int = 1,
-                   n_chains: int = 64, sweeps: int = 300,
-                   thermalization: int = 100,
-                   seeds: Sequence[int] = (123, 321),
-                   alpha: float = 0.01, use_pallas: bool = False,
-                   g_refresh: bool = False,
-                   observables: Sequence[str] = DEFAULT_OBSERVABLES) -> Dict:
-    """Matched-seed comparison of the candidate (dtype, safe_mult) mode
-    against the drift-proof anchor (same dtype, safe_mult=anchor_sm), pooled
-    over multiple independent seeds.
-
-    Returns {"ok": bool, "z": {obs: max z-score}, per-observable
-    Bonferroni-scaled thresholds, acc + drift stats}. Per-chain means are
-    POOLED across seeds (every chain is an independent Markov chain, so the
-    empirical cross-chain scatter of len(seeds)*n_chains means gives an
-    autocorrelation-free standard error), and each observable's alarm
-    threshold accounts for its number of components: the max of n standard
-    normals is ~sqrt(2 ln n), so a flat cutoff would false-alarm on the
-    4096-component Green's function while being too lax on scalars. The
-    per-observable cutoff is the two-sided Bonferroni quantile
-    sqrt(2 ln(2 n / alpha)) — ~3.3 for a scalar, ~5.3 at n=4096 —
-    which still catches the ~5-sigma occupation bias that single-pass
-    bf16 matmuls caused in round 1.
-    """
+def pooled_run(L: int = 8, beta: float = 10.0, U: float = 4.0,
+               mu: float = 0.0, dtype: str = "float32",
+               safe_mult: int = 1, n_chains: int = 64, sweeps: int = 300,
+               thermalization: int = 100, measure_rate: int = 5,
+               seeds: Sequence[int] = (123, 321), use_pallas: bool = False,
+               g_refresh: bool = False, peierls=None,
+               observables: Sequence[str] = DEFAULT_OBSERVABLES) -> Dict:
+    """Run one (dtype, safe_mult, kernel) mode over `seeds` and pool the
+    per-chain observable means across seeds (every chain is an independent
+    Markov chain, so the cross-chain scatter of len(seeds)*n_chains means is
+    an autocorrelation-free standard error). Returns {obs_key: (C_total, ...)
+    array} plus '_'-prefixed diagnostics lists."""
     import jax.numpy as jnp
 
     mk = dict(dims=2, L=L, U=U, mu=mu)
+    if peierls is not None:
+        mk["peierls"] = peierls
     common = dict(beta=beta, n_chains=n_chains, sweeps=sweeps,
-                  thermalization=thermalization, measure_rate=5,
+                  thermalization=thermalization, measure_rate=measure_rate,
                   print_rate=10 ** 9, dtype=jnp.dtype(dtype),
-                  use_pallas=use_pallas)
+                  use_pallas=use_pallas, safe_mult=safe_mult,
+                  g_refresh=g_refresh)
+    runs = [_run_one(mk, dict(common, seed=s), observables=observables)
+            for s in seeds]
+    out = {}
+    for key in runs[0]:
+        if key.startswith("_"):
+            out[key] = [r[key] for r in runs]
+        else:
+            out[key] = np.concatenate([r[key] for r in runs], axis=0)
+    return out
 
-    def pooled(sm, refresh=False):
-        runs = [_run_one(mk, dict(common, safe_mult=sm, seed=s,
-                                  g_refresh=refresh),
-                         observables=observables) for s in seeds]
-        out = {}
-        for key in runs[0]:
-            if key.startswith("_"):
-                out[key] = [r[key] for r in runs]
-            else:
-                out[key] = np.concatenate([r[key] for r in runs], axis=0)
-        return out
 
-    cand = pooled(safe_mult, refresh=g_refresh)
-    anch = pooled(anchor_sm)
+def compare_pools(cand: Dict, anch: Dict, alpha: float = 0.01):
+    """Per-observable max-|z| between two pooled runs with Bonferroni-scaled
+    thresholds; returns (ok, z_by_obs, tol_by_obs). The per-observable cutoff
+    accounts for its component count: the max of n standard normals is
+    ~sqrt(2 ln n), so a flat cutoff would false-alarm on the 4096-component
+    Green's function while being too lax on scalars. The two-sided Bonferroni
+    quantile sqrt(2 ln(2 n / alpha)) — ~3.3 for a scalar, ~5.3 at n=4096 —
+    still catches the ~5-sigma occupation bias that single-pass bf16 matmuls
+    caused in round 1."""
     zs, tols = {}, {}
     ok = True
     for key in cand:
-        if key.startswith("_"):
+        if key.startswith("_") or key not in anch:
             continue
         pc1, pc2 = cand[key], anch[key]
-        C = pc1.shape[0]
-        m1, e1 = pc1.mean(axis=0), pc1.std(axis=0, ddof=1) / np.sqrt(C)
-        m2, e2 = pc2.mean(axis=0), pc2.std(axis=0, ddof=1) / np.sqrt(C)
+        m1, e1 = pc1.mean(axis=0), (pc1.std(axis=0, ddof=1)
+                                    / np.sqrt(pc1.shape[0]))
+        m2, e2 = pc2.mean(axis=0), (pc2.std(axis=0, ddof=1)
+                                    / np.sqrt(pc2.shape[0]))
         err = np.sqrt(np.abs(e1) ** 2 + np.abs(e2) ** 2)
         err = np.maximum(err, 1e-12)
         n_comp = int(np.size(m1))
         zs[key] = float(np.max(np.abs(m1 - m2) / err))
         tols[key] = float(np.sqrt(2.0 * np.log(2.0 * n_comp / alpha)))
         ok = ok and zs[key] < tols[key]
+    return bool(ok), zs, tols
+
+
+def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
+                   mu: float = 0.0, dtype: str = "float32",
+                   safe_mult: int = 10, anchor_sm: int = 1,
+                   n_chains: int = 64, sweeps: int = 300,
+                   thermalization: int = 100, measure_rate: int = 5,
+                   seeds: Sequence[int] = (123, 321),
+                   alpha: float = 0.01, use_pallas: bool = False,
+                   g_refresh: bool = False, peierls=None,
+                   anchor_pool: Optional[Dict] = None,
+                   anchor_use_pallas: Optional[bool] = None,
+                   observables: Sequence[str] = DEFAULT_OBSERVABLES) -> Dict:
+    """Matched-seed comparison of the candidate (dtype, safe_mult, kernels)
+    mode against the drift-proof anchor (same dtype, safe_mult=anchor_sm),
+    pooled over multiple independent seeds.
+
+    `anchor_pool`: a precomputed `pooled_run` result for the anchor mode —
+    pass it when several gates share one anchor so the expensive sm=1 run
+    happens once (VERDICT r3 weak #2). `anchor_use_pallas` lets the anchor
+    run a different kernel path than the candidate (e.g. candidate = Pallas
+    site-major + MXU QR, anchor = plain XLA), turning the gate into a joint
+    kernel-rounding + drift check.
+
+    Returns {"ok": bool, "z": {obs: max z-score}, per-observable
+    Bonferroni-scaled thresholds, acc + drift stats, "_anchor_pool": the
+    anchor pool for reuse (strip '_'-keys before serializing)}.
+    """
+    cfg = dict(L=L, beta=beta, U=U, mu=mu, dtype=dtype, n_chains=n_chains,
+               sweeps=sweeps, thermalization=thermalization,
+               measure_rate=measure_rate, seeds=seeds, peierls=peierls,
+               observables=observables)
+    cand = pooled_run(safe_mult=safe_mult, use_pallas=use_pallas,
+                      g_refresh=g_refresh, **cfg)
+    anch = anchor_pool
+    if anch is None:
+        anch = pooled_run(safe_mult=anchor_sm,
+                          use_pallas=(use_pallas if anchor_use_pallas is None
+                                      else anchor_use_pallas), **cfg)
+    ok, zs, tols = compare_pools(cand, anch, alpha=alpha)
     return {
-        "ok": bool(ok),
+        "ok": ok,
         "seeds": list(seeds),
         "z": zs,
         "z_tol": tols,
@@ -134,4 +179,5 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                       "perr_hist": cand["_perr_hist"]},
         "anchor": {"safe_mult": anchor_sm, "acc": anch["_acc"],
                    "perr_mean": anch["_perr_mean"]},
+        "_anchor_pool": anch,
     }
