@@ -38,7 +38,7 @@ import numpy as np
 from jax import lax
 
 from ..ops.linalg import (udt_dirty, udt_dirty_colscaled, udt_well_conditioned,
-                          scatter_columns, calculate_greens,
+                          scatter_columns, permute_rows, calculate_greens,
                           calculate_greens_inv)
 from ..utils.host import real_dtype
 
@@ -391,7 +391,7 @@ def extend_left(ctx, consts, conf, j, U, D, T):
         u, d, r, piv = udt_dirty_colscaled(curr * D[:, None, :])
     else:
         u, d, r, piv = udt_dirty(curr * D[:, None, :])
-    Tnew = scatter_columns(r, piv) @ T
+    Tnew = r @ permute_rows(T, piv)
     return u, d, Tnew
 
 
@@ -408,7 +408,7 @@ def extend_right(ctx, consts, conf, j, U, D, T):
         u, d, r, piv = udt_dirty_colscaled(curr * D[:, None, :])
     else:
         u, d, r, piv = udt_dirty(curr * D[:, None, :])
-    Tnew = scatter_columns(r, piv) @ T
+    Tnew = r @ permute_rows(T, piv)
     return u, d, Tnew
 
 

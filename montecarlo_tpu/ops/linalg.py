@@ -59,6 +59,16 @@ def argsort_desc(v):
     return piv.astype(jnp.int32), rank.astype(jnp.int32)
 
 
+def _fused_udt_eligible(A, kind="udt"):
+    """True when the fused UDT Pallas kernels (QR + postscale [+ solve] in
+    one call, ops/pallas_qr.py) may take this shape: f32, square, N <= 64,
+    kernels enabled, Mosaic compile probe green."""
+    if A.dtype != jnp.float32 or A.ndim < 2 or A.shape[-1] != A.shape[-2]:
+        return False
+    from .pallas_qr import enabled, fused_udt_ok
+    return enabled() and fused_udt_ok(A.shape[-1], kind)
+
+
 def udt_dirty(A):
     """A = U · diag(D) · T  with  T = R[:, inv_piv] (i.e. T·P = R upper-tri).
 
@@ -86,6 +96,12 @@ def udt_dirty(A):
     norms = jnp.linalg.norm(As, axis=-2)
     piv, _ = argsort_desc(norms)
     Ap = jnp.take_along_axis(As, piv[..., None, :], axis=-1)
+    if _fused_udt_eligible(A):
+        # fused postscale: the kernel emits Rs (normalized, flush-fixed) and
+        # d·mx directly — skips ~5 small XLA passes per call
+        from .pallas_qr import udt_fused_lanes
+        Q, Rs, d = udt_fused_lanes()(Ap, mx[..., 0, 0])
+        return Q, d, Rs, piv
     Q, R = _qr(Ap)
     # complex-correct: D = |r_ii| (the complex modulus — the phase stays in
     # T's unit-MAGNITUDE diagonal; reference complex udt_AVX_pivot!,
@@ -163,6 +179,14 @@ def scatter_columns(R, piv):
     right): out[..., :, piv[j]] = M[..., :, j]."""
     ipiv = invert_permutation(piv)
     return jnp.take_along_axis(R, ipiv[..., None, :], axis=-1)
+
+
+def permute_rows(T, piv):
+    """T[..., piv, :] — row gather. The identity
+    scatter_columns(R, piv) @ T == R @ permute_rows(T, piv)
+    (R·Pᵀ·T with (Pᵀ·T)[i] = T[piv[i]]) lets the UDT T-factor update skip
+    the O(N²) invert_permutation + column gather."""
+    return jnp.take_along_axis(T, piv[..., :, None], axis=-2)
 
 
 # Explicit-inverse path for the dirty-R triangular solves. Default OFF:
@@ -273,12 +297,35 @@ def calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr, udt_fn=None):
     X = Tl @ _adj(Tr)
     M = (_adj(Ul) @ Ur) / Dlp[..., :, None] / Drp[..., None, :]
     M = M + (Dlm[..., :, None] * X) * Drm[..., None, :]
+    if (udt_fn is None or udt_fn is udt_dirty) and _fused_udt_eligible(
+            M, "solve"):
+        # fused path: QR + triangular solve + both postscales in ONE Pallas
+        # call (ops/pallas_qr.py::_udt_solve_kernel)
+        u, Z = _fused_greens_solve(M, Ur / Drp[..., None, :])
+        W = _adj(u) / Dlp[..., None, :]
+        return Z @ (W @ _adj(Ul))
     u, d, r, piv = (udt_fn or udt_dirty)(M)
     # G = (Ur/Drp) · t^{-1} · d^{-1} · u† · (Dlp^{-1}·Ul†)
     Z = rdiv_dirty(Ur / Drp[..., None, :], r, piv)
     Z = Z / d[..., None, :]
     W = _adj(u) / Dlp[..., None, :]   # u† · diag(1/Dlp)
     return Z @ (W @ _adj(Ul))
+
+
+def _fused_greens_solve(M, Zpre):
+    """(u, Z) with M·P = u·diag(d)·Rs and Z = (Zpre·P)·Rs⁻¹/d, via the fused
+    UDT+solve kernel — equivalent to udt_dirty(M) followed by
+    rdiv_dirty(Zpre, Rs, piv)/d, in one pallas_call."""
+    mx = jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True)
+    mx = jnp.maximum(mx, jnp.finfo(M.dtype).tiny)
+    mx = jnp.exp2(jnp.ceil(jnp.log2(mx)) - 50.0)
+    Ms = M / mx
+    norms = jnp.linalg.norm(Ms, axis=-2)
+    piv, _ = argsort_desc(norms)
+    Mp = jnp.take_along_axis(Ms, piv[..., None, :], axis=-1)
+    Zp = jnp.take_along_axis(Zpre, piv[..., None, :], axis=-1)
+    from .pallas_qr import udt_solve_lanes
+    return udt_solve_lanes()(Mp, Zp, mx[..., 0, 0])
 
 
 def udt_dirty_bounded(A):
@@ -333,6 +380,11 @@ def calculate_greens_inv(Ulinv, Dl, Tl, Urinv, Dr, Tr, udt_fn=None):
     X = Tl @ _adj(Tr)
     M = (Ulinv @ Urdaginv) / Dlp[..., :, None] / Drp[..., None, :]
     M = M + (Dlm[..., :, None] * X) * Drm[..., None, :]
+    if (udt_fn is None or udt_fn is udt_dirty) and _fused_udt_eligible(
+            M, "solve"):
+        u, Z = _fused_greens_solve(M, Urdaginv / Drp[..., None, :])
+        W = _adj(u) / Dlp[..., None, :]
+        return Z @ (W @ Ulinv)
     u, d, r, piv = (udt_fn or udt_dirty)(M)
     Z = rdiv_dirty(Urdaginv / Drp[..., None, :], r, piv)
     Z = Z / d[..., None, :]
@@ -401,5 +453,5 @@ def udt_mul_udt(Ua, Da, Ta, Ub, Db, Tb):
     mid = mid * Da[..., :, None]
     u, d, r, p = udt_dirty(mid)
     U = Ua @ u
-    T = scatter_columns(r, p) @ Tb
+    T = r @ permute_rows(Tb, p)
     return U, d, T

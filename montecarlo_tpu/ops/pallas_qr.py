@@ -316,6 +316,294 @@ def _blocked_kernel_vtau(N, CB, KB, At_in, At_ref, Vt_ref, Tau_ref):
         At_ref[pl.ds(c0, CH)] = X - upd
 
 
+# ---------------------------------------------------------------------------
+# fused UDT kernels: QR + udt_dirty postscale (+ optional right-triangular
+# solve) in one pallas_call. The boundary path (extend_* + calculate_greens,
+# reference stack.jl:272-311 + :337-393) is per-op-latency-bound on TPU: the
+# ~10 small XLA passes around each QR (diag extract, floor, row normalize,
+# diag fix, d*mx, pivot-apply + triangular solve) each cost a fixed ~10 us on
+# (256, 64, 64) operands. These kernels run them on the VMEM-resident data
+# inside the QR's sequential column grid. Pivoting stays OUTSIDE (a per-lane
+# dynamic column gather is not expressible in Mosaic); the caller passes the
+# prescaled, pivoted matrix plus the power-of-two prescale.
+# ---------------------------------------------------------------------------
+
+_UDT_FLOOR = 2.0 ** -70  # flushed-mode diagonal floor, = linalg.udt_dirty's
+
+
+def _udt_kernel(N, CB, At_in, Mx_in, At_ref, Q_ref, D_ref, dsub_ref):
+    """Householder QR + fused udt_dirty postscale (grid = (n_cb, N)).
+
+    In:  At_in (N,N,CB) — PRESCALED, PIVOTED A transposed [col,row,chain];
+         Mx_in (8,CB)   — the power-of-two prescale per chain (row 0).
+    Out: At_ref → Rs = R/d (unit-|diag| dirty T; flushed modes get an exact
+         +1 diagonal, matching udt_dirty's fix); Q_ref → Q;
+         D_ref (N,8,CB) → d·mx (the unscaled d of udt_dirty).
+    dsub_ref (1,N,CB) scratch accumulates the prescaled-domain d for the
+    final row normalization (rows of R are sublanes of At, so the row scale
+    is one broadcast divide at the last grid step)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        At_ref[...] = At_in[...]
+        row_ids = lax.broadcasted_iota(jnp.int32, (N, N, 1), 0)
+        col_ids = lax.broadcasted_iota(jnp.int32, (N, N, 1), 1)
+        Q_ref[...] = jnp.broadcast_to(
+            jnp.where(row_ids == col_ids, jnp.float32(1.0), jnp.float32(0.0)),
+            (N, N, CB))
+
+    x = At_ref[pl.ds(j, 1)]                                     # (1,N,CB)
+    r_ids = lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    onehot_j = jnp.where(r_ids == j, jnp.float32(1.0), jnp.float32(0.0))
+    tail = jnp.where(r_ids > j, jnp.float32(1.0), jnp.float32(0.0))
+
+    alpha = jnp.sum(x * onehot_j, axis=1, keepdims=True)        # (1,1,CB)
+    sigma = jnp.sum((x * tail) ** 2, axis=1, keepdims=True)     # (1,1,CB)
+    normx = jnp.sqrt(alpha * alpha + sigma)
+    s = jnp.where(alpha >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+    vj = alpha + s * normx
+    v = x * tail + vj * onehot_j                                # (1,N,CB)
+    vtv = sigma + vj * vj
+    tau = jnp.where(vtv > 0, 2.0 / vtv, jnp.float32(0.0))       # (1,1,CB)
+
+    At = At_ref[...]
+    w = jnp.sum(At * v, axis=1, keepdims=True)                  # (N,1,CB)
+    At_ref[...] = At - (tau * w) * v
+    # floored diagonal: flushed modes (|R_jj| < floor) carry no representable
+    # information — force d = floor and R_jj = +floor so the normalized
+    # diagonal is exactly +1 and downstream solves stay finite
+    rjj = -s * normx
+    absr = jnp.abs(rjj)
+    dj = jnp.maximum(absr, jnp.float32(_UDT_FLOOR))
+    rjj_eff = jnp.where(absr < _UDT_FLOOR, jnp.float32(_UDT_FLOOR), rjj)
+    At_ref[pl.ds(j, 1)] = x * (1.0 - tail - onehot_j) + rjj_eff * onehot_j
+    dsub_ref[...] = jnp.where(r_ids == j, dj, dsub_ref[...])
+    mx = Mx_in[0:1, :]                                          # (1,CB)
+    D_ref[pl.ds(j, 1)] = jnp.broadcast_to(dj * mx[None], (1, 8, CB))
+
+    Q = Q_ref[...]
+    qw = jnp.sum(Q * v, axis=1, keepdims=True)                  # (N,1,CB)
+    Q_ref[...] = Q - (tau * qw) * v
+
+    @pl.when(j == N - 1)
+    def _normalize():
+        # Rs = R / d: rows of R are At sublanes → one broadcast divide
+        At_ref[...] = At_ref[...] / dsub_ref[...]
+
+
+def _udt_solve_kernel(N, CB, At_in, Zt_in, Mx_in, At_ref, Q_ref, Xt_ref):
+    """Householder QR + fused right-triangular solve, for calculate_greens:
+    emits X = (Zp · Rs⁻¹)/d·(1/mx) = Zp · R_M⁻¹ — exactly rdiv_dirty + the
+    /d postscale of the Dmax/Dmin greens algebra — WITHOUT materializing Rs
+    or d. Back-substitution pipelines into the column grid: column j of X is
+    computed at grid step j (R's rows 0..j are final there — later reflectors
+    have zero components on rows ≤ j), and its contribution to all later
+    columns' accumulators is folded into Xt_ref immediately.
+
+    In:  At_in (N,N,CB) prescaled+pivoted M transposed; Zt_in (N,N,CB)
+         pivoted Zp = (Ur/Drp)[:, piv] transposed; Mx_in (8,CB) prescale.
+    Out: At_ref → R (prescaled domain, floored diag — internal, caller
+         discards); Q_ref → u; Xt_ref → X (transposed [col,row,chain])."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        At_ref[...] = At_in[...]
+        row_ids = lax.broadcasted_iota(jnp.int32, (N, N, 1), 0)
+        col_ids = lax.broadcasted_iota(jnp.int32, (N, N, 1), 1)
+        Q_ref[...] = jnp.broadcast_to(
+            jnp.where(row_ids == col_ids, jnp.float32(1.0), jnp.float32(0.0)),
+            (N, N, CB))
+        Xt_ref[...] = jnp.zeros((N, N, CB), jnp.float32)
+
+    x = At_ref[pl.ds(j, 1)]                                     # (1,N,CB)
+    r_ids = lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    onehot_j = jnp.where(r_ids == j, jnp.float32(1.0), jnp.float32(0.0))
+    tail = jnp.where(r_ids > j, jnp.float32(1.0), jnp.float32(0.0))
+
+    alpha = jnp.sum(x * onehot_j, axis=1, keepdims=True)
+    sigma = jnp.sum((x * tail) ** 2, axis=1, keepdims=True)
+    normx = jnp.sqrt(alpha * alpha + sigma)
+    s = jnp.where(alpha >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+    vj = alpha + s * normx
+    v = x * tail + vj * onehot_j
+    vtv = sigma + vj * vj
+    tau = jnp.where(vtv > 0, 2.0 / vtv, jnp.float32(0.0))
+
+    At = At_ref[...]
+    w = jnp.sum(At * v, axis=1, keepdims=True)
+    At_ref[...] = At - (tau * w) * v
+    rjj = -s * normx
+    absr = jnp.abs(rjj)
+    rjj_eff = jnp.where(absr < _UDT_FLOOR, jnp.float32(_UDT_FLOOR), rjj)
+    At_ref[pl.ds(j, 1)] = x * (1.0 - tail - onehot_j) + rjj_eff * onehot_j
+
+    Q = Q_ref[...]
+    qw = jnp.sum(Q * v, axis=1, keepdims=True)
+    Q_ref[...] = Q - (tau * qw) * v
+
+    # ---- back-substitution step: X·R = Zp/mx, column j
+    # X[:,j] = (Zp[:,j]/mx − ACC_j)/R_jj with ACC_j = Σ_{m<j} X[:,m]·R[m,j]
+    # accumulated incrementally in Xt itself (columns > j hold partial sums)
+    mx = Mx_in[0:1, :]                                          # (1,CB)
+    invmx = 1.0 / mx[None]                                      # (1,1,CB)
+    Xcur = Xt_ref[...]
+    acc = Xt_ref[pl.ds(j, 1)]
+    zcol = Zt_in[pl.ds(j, 1)]
+    xcol = (zcol * invmx - acc) / rjj_eff                       # (1,N,CB)
+    # row j of R across columns c: R[j,c] = At[c,j,:] (masked sublane reduce)
+    At2 = At_ref[...]
+    rrow = jnp.sum(At2 * onehot_j, axis=1, keepdims=True)       # (N,1,CB)
+    c_ids = lax.broadcasted_iota(jnp.int32, (N, 1, 1), 0)
+    upd = jnp.where(c_ids > j, rrow, jnp.float32(0.0)) * xcol   # (N,N,CB)
+    Xt_ref[...] = Xcur + upd
+    Xt_ref[pl.ds(j, 1)] = xcol
+
+
+def _udt_fused_batched(A, mx):
+    """(Q, Rs, d) of prescaled+pivoted A (B,N,N) f32 with prescale mx (B,)."""
+    B, N, _ = A.shape
+    from .pallas_util import pick_vmem_lane_block
+    CB = pick_vmem_lane_block(B, 3 * N * N * 4)
+    interpret = jax.default_backend() == "cpu"
+    At = jnp.transpose(A, (2, 1, 0))
+    Mx = jnp.broadcast_to(mx[None, :], (8, B)).astype(jnp.float32)
+    i32 = jnp.int32
+    spec = pl.BlockSpec((N, N, CB), lambda cb, j: (i32(0), i32(0), cb))
+    mx_spec = pl.BlockSpec((8, CB), lambda cb, j: (i32(0), cb))
+    d_spec = pl.BlockSpec((N, 8, CB), lambda cb, j: (i32(0), i32(0), cb))
+    At_out, Q_out, D_out = pl.pallas_call(
+        functools.partial(_udt_kernel, N, CB),
+        interpret=interpret,
+        grid=(B // CB, N),
+        in_specs=[spec, mx_spec],
+        out_specs=[spec, spec, d_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, N, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, N, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, 8, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, N, CB), jnp.float32)],
+    )(At, Mx)
+    Rs = jnp.transpose(At_out, (2, 1, 0))
+    Q = jnp.transpose(Q_out, (2, 0, 1))
+    d = jnp.transpose(D_out[:, 0, :], (1, 0))
+    return Q, Rs, d
+
+
+def _udt_solve_batched(A, Z, mx):
+    """(Q, X) with X = Z·R_M⁻¹ for prescaled+pivoted A (B,N,N) f32,
+    pivoted Z (B,N,N), prescale mx (B,)."""
+    B, N, _ = A.shape
+    from .pallas_util import pick_vmem_lane_block
+    CB = pick_vmem_lane_block(B, 5 * N * N * 4)
+    interpret = jax.default_backend() == "cpu"
+    At = jnp.transpose(A, (2, 1, 0))
+    Zt = jnp.transpose(Z, (2, 1, 0))
+    Mx = jnp.broadcast_to(mx[None, :], (8, B)).astype(jnp.float32)
+    i32 = jnp.int32
+    spec = pl.BlockSpec((N, N, CB), lambda cb, j: (i32(0), i32(0), cb))
+    mx_spec = pl.BlockSpec((8, CB), lambda cb, j: (i32(0), cb))
+    _, Q_out, Xt_out = pl.pallas_call(
+        functools.partial(_udt_solve_kernel, N, CB),
+        interpret=interpret,
+        grid=(B // CB, N),
+        in_specs=[spec, spec, mx_spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, N, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, N, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, N, B), jnp.float32),
+        ],
+    )(At, Zt, Mx)
+    Q = jnp.transpose(Q_out, (2, 0, 1))
+    X = jnp.transpose(Xt_out, (2, 1, 0))
+    return Q, X
+
+
+def udt_fused_lanes():
+    """(..., N, N) fused UDT (QR+postscale) folding leading axes into lanes."""
+    if "fn_udt" in _QR_CACHE:
+        return _QR_CACHE["fn_udt"]
+
+    @custom_vmap
+    def udt(A, mx):
+        lead = A.shape[:-2]
+        N = A.shape[-1]
+        from .pallas_util import map_lane_chunks, pick_vmem_lane_chunk
+        Q, Rs, d = map_lane_chunks(
+            _udt_fused_batched, A.reshape((-1, N, N)), mx.reshape((-1,)),
+            step=pick_vmem_lane_chunk(3 * N * N * 4))
+        return (Q.reshape(lead + (N, N)), Rs.reshape(lead + (N, N)),
+                d.reshape(lead + (N,)))
+
+    @udt.def_vmap
+    def _rule(axis_size, in_batched, A, mx):
+        return udt(A, mx), (True, True, True)
+
+    _QR_CACHE["fn_udt"] = udt
+    return udt
+
+
+def udt_solve_lanes():
+    """(..., N, N) fused UDT+solve folding leading axes into lanes."""
+    if "fn_udt_solve" in _QR_CACHE:
+        return _QR_CACHE["fn_udt_solve"]
+
+    @custom_vmap
+    def udt_solve(A, Z, mx):
+        lead = A.shape[:-2]
+        N = A.shape[-1]
+        from .pallas_util import map_lane_chunks, pick_vmem_lane_chunk
+        Q, X = map_lane_chunks(
+            _udt_solve_batched, A.reshape((-1, N, N)),
+            Z.reshape((-1, N, N)), mx.reshape((-1,)),
+            step=pick_vmem_lane_chunk(5 * N * N * 4))
+        return Q.reshape(lead + (N, N)), X.reshape(lead + (N, N))
+
+    @udt_solve.def_vmap
+    def _rule(axis_size, in_batched, A, Z, mx):
+        return udt_solve(A, Z, mx), (True, True)
+
+    _QR_CACHE["fn_udt_solve"] = udt_solve
+    return udt_solve
+
+
+_FUSED_UDT_CACHE = {}
+
+
+def fused_udt_ok(N, kind="udt") -> bool:
+    """Eligibility + cached compile probe for the fused UDT kernels.
+    Default ON for f32, 8 | N <= 64 on TPU (MC_TPU_FUSED_UDT=0 disables);
+    CPU uses the interpreter (tests force ENABLED)."""
+    import os
+    env = os.environ.get("MC_TPU_FUSED_UDT")
+    if env in ("0", "false", "off"):
+        return False
+    if not (HAVE_PALLAS and enabled() and N % 8 == 0 and 8 <= N <= 64):
+        return False
+    if jax.default_backend() == "cpu":
+        return True
+    key = (N, kind)
+    if key not in _FUSED_UDT_CACHE:
+        try:
+            if kind == "udt":
+                fn, shapes = _udt_fused_batched, (
+                    jax.ShapeDtypeStruct((256, N, N), jnp.float32),
+                    jax.ShapeDtypeStruct((256,), jnp.float32))
+            else:
+                fn, shapes = _udt_solve_batched, (
+                    jax.ShapeDtypeStruct((128, N, N), jnp.float32),
+                    jax.ShapeDtypeStruct((128, N, N), jnp.float32),
+                    jax.ShapeDtypeStruct((128,), jnp.float32))
+            jax.jit(fn).lower(*shapes).compile()
+            _FUSED_UDT_CACHE[key] = True
+        except Exception:  # pragma: no cover
+            _FUSED_UDT_CACHE[key] = False
+    return _FUSED_UDT_CACHE[key]
+
+
 def _wy_assemble_q(V, tau):
     """Q = H_0···H_{N-1} = I − V·T·Vᵀ from the reflectors, as batched MXU
     matmuls + ONE batched triangular solve, via the inverse-T identity

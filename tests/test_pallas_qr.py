@@ -346,3 +346,96 @@ def test_qr_wy_matches_inkernel_q():
     Q, R = pallas_qr.qr_lanes()(A)
     np.testing.assert_allclose(np.asarray(Qw), np.asarray(Q), atol=2e-5)
     np.testing.assert_allclose(np.asarray(Rw), np.asarray(R), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused UDT kernels (QR + postscale [+ solve], ops/pallas_qr.py)
+# ---------------------------------------------------------------------------
+
+def _graded(key, B, N, decades=16):
+    k1, k2 = jax.random.split(key)
+    A = jax.random.normal(k1, (B, N, N), jnp.float32)
+    grade = jnp.exp(jax.random.uniform(k2, (B, N), minval=-decades,
+                                       maxval=decades))
+    # keep f32 under the x64 test config — the fused kernels are f32-only
+    return (A * grade[:, None, :]).astype(jnp.float32)
+
+
+def test_fused_udt_matches_reference_path(monkeypatch):
+    """udt_dirty through the fused kernel must match the unfused XLA
+    postscale path bit-for-bit in interpret mode (same fp ops)."""
+    from montecarlo_tpu.ops import linalg
+    A = _graded(jax.random.PRNGKey(3), 6, 64)
+    monkeypatch.setenv("MC_TPU_FUSED_UDT", "0")
+    Q0, d0, R0, p0 = linalg.udt_dirty(A)
+    monkeypatch.setenv("MC_TPU_FUSED_UDT", "1")
+    Q1, d1, R1, p1 = linalg.udt_dirty(A)
+    assert bool(jnp.all(p0 == p1))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q0), atol=1e-5)
+    # full decomposition contract on the fused outputs
+    rec = (Q1 * d1[:, None, :]) @ R1
+    Ap = jnp.take_along_axis(A, p1[:, None, :], axis=-1)
+    scale = np.max(np.abs(np.asarray(Ap)))
+    np.testing.assert_allclose(np.asarray(rec) / scale,
+                               np.asarray(Ap) / scale, atol=2e-5)
+
+
+def test_fused_udt_flushed_mode_unit_diag(monkeypatch):
+    """Rank-deficient input: flushed modes must get the exact +1 diagonal
+    (udt_dirty's fix) through the fused kernel too."""
+    from montecarlo_tpu.ops import linalg
+    monkeypatch.setenv("MC_TPU_FUSED_UDT", "1")
+    A = _graded(jax.random.PRNGKey(4), 2, 16, decades=2)
+    A = A.at[:, :, -4:].set(0.0)                  # 4 exactly-zero columns
+    Q, d, R, piv = linalg.udt_dirty(A)
+    diag = np.asarray(jnp.diagonal(R, axis1=-2, axis2=-1))
+    np.testing.assert_allclose(np.abs(diag), 1.0, rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(R)))
+    assert np.all(np.asarray(d) > 0)
+
+
+def test_fused_greens_solve_matches_reference(monkeypatch):
+    """calculate_greens via the fused UDT+solve kernel vs the trisolve
+    path, on strongly graded UDT factors."""
+    from montecarlo_tpu.ops import linalg
+    key = jax.random.PRNGKey(5)
+    B, N = 4, 64
+
+    def rand_udt(k, decades):
+        k1, k2, k3 = jax.random.split(k, 3)
+        Q, _ = jnp.linalg.qr(jax.random.normal(k1, (B, N, N), jnp.float32))
+        D = jnp.sort(jnp.exp(jax.random.uniform(
+            k2, (B, N), minval=-decades, maxval=decades)), axis=-1)[:, ::-1]
+        T = jnp.triu(0.3 * jax.random.normal(k3, (B, N, N), jnp.float32))
+        eye = jnp.eye(N, dtype=jnp.float32)
+        T = T - jnp.triu(T) * eye + eye
+        return Q.astype(jnp.float32), D.astype(jnp.float32), T
+
+    k1, k2 = jax.random.split(key)
+    Ul, Dl, Tl = rand_udt(k1, 20)
+    Ur, Dr, Tr = rand_udt(k2, 20)
+    monkeypatch.setenv("MC_TPU_FUSED_UDT", "0")
+    G0 = linalg.calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr)
+    monkeypatch.setenv("MC_TPU_FUSED_UDT", "1")
+    G1 = linalg.calculate_greens(Ul, Dl, Tl, Ur, Dr, Tr)
+    scale = float(jnp.max(jnp.abs(G0)))
+    np.testing.assert_allclose(np.asarray(G1) / scale,
+                               np.asarray(G0) / scale, atol=3e-6)
+    # the _inv variant with unitary factors must agree exactly with plain
+    G2 = linalg.calculate_greens_inv(jnp.swapaxes(Ul, -1, -2), Dl, Tl,
+                                     jnp.swapaxes(Ur, -1, -2), Dr, Tr)
+    np.testing.assert_allclose(np.asarray(G2) / scale,
+                               np.asarray(G1) / scale, atol=3e-6)
+
+
+def test_permute_rows_identity():
+    from montecarlo_tpu.ops import linalg
+    key = jax.random.PRNGKey(6)
+    A = _graded(key, 3, 32, decades=6)
+    Q, d, R, piv = linalg.udt_dirty(A)
+    T = jax.random.normal(jax.random.PRNGKey(7), (3, 32, 32), jnp.float32)
+    lhs = linalg.scatter_columns(R, piv) @ T
+    rhs = R @ linalg.permute_rows(T, piv)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=2e-5)
