@@ -141,12 +141,24 @@ def _sigterm(signum, frame):  # pragma: no cover - driver timeout path
 signal.signal(signal.SIGTERM, _sigterm)
 
 
-def phase(name, est_s, fn, enabled=True, required=False):
+def _warm():
+    """True when the persistent caches (XLA compile cache + anchor pools)
+    are evidently hot: the headline phase compiles the biggest program in
+    the suite, so its wall time separates cold (250-470s measured) from
+    warm (11-71s) unambiguously. Warm runs use the warm per-phase
+    estimates for skip decisions; a cold run falls back to worst-case."""
+    return PHASE_S.get("headline", 1e9) < 90
+
+
+def phase(name, est_s, fn, enabled=True, required=False, est_warm=None):
     """Run one bench phase under the global deadline. Returns fn() or None
     (skipped), or {"error": repr} on exception. est_s is the worst-case
-    (cold-cache) estimate used only for the skip decision."""
+    (cold-cache) estimate, est_warm the warm-cache one; the skip decision
+    uses est_warm when _warm() says the caches are hot."""
     if not enabled:
         return None
+    if est_warm is not None and _warm():
+        est_s = est_warm
     if not required and time_left() < est_s + RESERVE_S:
         SKIPPED.append(name)
         _progress(f"SKIP {name} ({time_left():.0f}s left < est {est_s:.0f}s)")
@@ -261,8 +273,8 @@ def bench_susceptibility():
 
 
 def _gate_fields(g):
-    return {k: g[k] for k in ("ok", "seeds", "z", "z_tol", "candidate",
-                              "anchor") if k in g}
+    return {k: g[k] for k in ("ok", "seeds", "anchor_cached", "z", "z_tol",
+                              "candidate", "anchor") if k in g}
 
 
 def _backend_watchdog():
@@ -338,7 +350,7 @@ def main():
             from montecarlo_tpu.validation import cross_sm_check
             return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
                                   safe_mult=SAFE_MULT, use_pallas=USE_PALLAS)
-        g = phase("gate_headline", 320, _headline_gate)
+        g = phase("gate_headline", 500, _headline_gate, est_warm=120)
         if isinstance(g, dict) and "ok" in g:
             anchor_pool = g.pop("_anchor_pool", None)
             RESULT["cross_sm_validation"] = _gate_fields(g)
@@ -350,7 +362,7 @@ def main():
 
     # ---- 3. g_refresh conservative mode + gate (reuses the anchor) -----
     refresh_mode = phase(
-        "g_refresh", 90,
+        "g_refresh", 90, est_warm=25, fn=
         lambda: (lambda r: {"kind": "g_refresh", "safe_mult": REFRESH_SM,
                             "sweeps_per_s": round(r[0], 3),
                             "vs_baseline": round(
@@ -366,8 +378,7 @@ def main():
                                   safe_mult=REFRESH_SM, g_refresh=True,
                                   use_pallas=USE_PALLAS,
                                   anchor_pool=anchor_pool)
-        g = phase("gate_g_refresh", 200 if anchor_pool is not None else 320,
-                  _refresh_gate)
+        g = phase("gate_g_refresh", 250, _refresh_gate, est_warm=80)
         if isinstance(g, dict) and "ok" in g:
             g.pop("_anchor_pool", None)
             refresh_mode["cross_sm_validation"] = _gate_fields(g)
@@ -382,13 +393,15 @@ def main():
     sm1 = phase("sm1_anchor", 60,
                 lambda: round(bench_dqmc(safe_mult=1, sweeps=2)[0], 3),
                 enabled=(SAFE_MULT != 1
-                         and os.environ.get("BENCH_SM1", "1") == "1"))
+                         and os.environ.get("BENCH_SM1", "1") == "1"),
+                est_warm=20)
     RESULT["sm1_sweeps_per_s"] = sm1 if not isinstance(sm1, dict) else sm1
 
     # ---- 5. susceptibility set cost -------------------------------------
-    susc = phase("susceptibility", 120,
+    susc = phase("susceptibility", 150,
                  lambda: round(bench_susceptibility(), 4),
-                 enabled=os.environ.get("BENCH_SUSC", "1") == "1")
+                 enabled=os.environ.get("BENCH_SUSC", "1") == "1",
+                 est_warm=110)
     RESULT["susceptibility_s_per_measured_sweep"] = susc
 
     # ---- 6. L=16 (N=256) operating point + its own cross-sm gate --------
@@ -402,7 +415,7 @@ def main():
             sps, _, d, a = bench_dqmc(sweeps=2, lattice_L=16, chains=64)
             return {"chains": 64, "chain_sweeps_per_s": round(sps, 3),
                     "drift_max": d["max"], "acceptance": round(a, 4)}
-        l16_mode = phase("l16", 180, _l16)
+        l16_mode = phase("l16", 700, _l16, est_warm=100)
         if (isinstance(l16_mode, dict) and "error" not in l16_mode
                 and VALIDATE and DTYPE != "float64"
                 and os.environ.get("BENCH_L16_GATE", "1") == "1"):
@@ -415,7 +428,7 @@ def main():
                     dtype=DTYPE, safe_mult=SAFE_MULT, use_pallas=USE_PALLAS,
                     n_chains=32, sweeps=200, thermalization=60,
                     observables=EQUAL_TIME_OBSERVABLES)
-            g = phase("gate_l16", 330, _l16_gate)
+            g = phase("gate_l16", 900, _l16_gate, est_warm=250)
             if isinstance(g, dict) and "ok" in g:
                 g.pop("_anchor_pool", None)
                 l16_mode["cross_sm_validation"] = _gate_fields(g)
@@ -436,7 +449,7 @@ def main():
             return run_complex_bench(chains=N_CHAINS, L=L, beta=BETA,
                                      sweeps=2, safe_mult=CPLX_SM,
                                      use_pallas=USE_PALLAS)
-        cplx_mode = phase("complex", 150, _cplx)
+        cplx_mode = phase("complex", 200, _cplx, est_warm=50)
         if (isinstance(cplx_mode, dict) and "error" not in cplx_mode
                 and VALIDATE
                 and os.environ.get("BENCH_CPLX_GATE", "1") == "1"):
@@ -451,7 +464,7 @@ def main():
                 return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
                                       safe_mult=CPLX_SM,
                                       use_pallas=USE_PALLAS, peierls=theta)
-            g = phase("gate_complex", 330, _cplx_gate)
+            g = phase("gate_complex", 600, _cplx_gate, est_warm=150)
             if isinstance(g, dict) and "ok" in g:
                 g.pop("_anchor_pool", None)
                 cplx_mode["cross_sm_validation"] = _gate_fields(g)
@@ -468,17 +481,18 @@ def main():
                     "bound_sweeps_per_s": F64_BOUND_SWEEPS_PER_S,
                     "regression_ok": bool(
                         sps >= 0.7 * F64_BOUND_SWEEPS_PER_S)}
-        f64_mode = phase("f64", 180, _f64)
+        f64_mode = phase("f64", 300, _f64, est_warm=60)
     RESULT["f64_mode"] = f64_mode
 
     # ---- 9. chain-scaling point (512-chain saturation, VERDICT r3 #7) ---
     c512 = phase("chains512", 90,
                  lambda: round(bench_dqmc(chains=512, sweeps=2)[0], 3),
-                 enabled=os.environ.get("BENCH_C512", "1") == "1")
+                 enabled=os.environ.get("BENCH_C512", "1") == "1",
+                 est_warm=25)
     RESULT["chains512_sweeps_per_s"] = c512
 
     # ---- 10. Ising secondary metric -------------------------------------
-    ising = phase("ising", 120, bench_ising)
+    ising = phase("ising", 120, bench_ising, est_warm=40)
     RESULT["ising_spin_flips_per_s"] = (round(ising) if isinstance(
         ising, (int, float)) else ising)
 

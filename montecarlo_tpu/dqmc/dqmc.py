@@ -123,10 +123,25 @@ class DQMC:
                                                   checkerboard=checkerboard,
                                                   g_refresh=g_refresh)
 
-        root = jax.random.PRNGKey(seed)
-        init_key, sweep_key = jax.random.split(root)
-        conf = model.rand_conf(init_key, self.n_chains, self.parameters.slices)
-        chain_keys = jax.random.split(sweep_key, self.n_chains)
+        # seed may be a sequence: the independent streams are folded into the
+        # chain axis (chains i*n_chains..(i+1)*n_chains-1 get seed[i]'s RNG
+        # keys and initial configurations, exactly as len(seed) separate
+        # sessions would) — one batched run replaces per-seed runs in the
+        # cross-sm validation gates. Trajectories are identically keyed but
+        # not bit-identical across batch sizes: matmul blocking depends on
+        # the batch, so f32 rounding differs at ~1e-6/sweep (statistically
+        # immaterial — the gates use cross-chain scatter, not matched pairs)
+        seeds = tuple(seed) if isinstance(seed, (tuple, list)) else (seed,)
+        confs, key_blocks = [], []
+        for s in seeds:
+            root = jax.random.PRNGKey(s)
+            init_key, sweep_key = jax.random.split(root)
+            confs.append(model.rand_conf(init_key, self.n_chains,
+                                         self.parameters.slices))
+            key_blocks.append(jax.random.split(sweep_key, self.n_chains))
+        self.n_chains *= len(seeds)
+        conf = jnp.concatenate(confs, axis=0)
+        chain_keys = jnp.concatenate(key_blocks, axis=0)
         self.state = core.jitted_vmapped("init_state", self.ctx,
                                          self.consts)(conf, chain_keys)
 

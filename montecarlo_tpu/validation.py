@@ -79,8 +79,16 @@ def pooled_run(L: int = 8, beta: float = 10.0, U: float = 4.0,
     """Run one (dtype, safe_mult, kernel) mode over `seeds` and pool the
     per-chain observable means across seeds (every chain is an independent
     Markov chain, so the cross-chain scatter of len(seeds)*n_chains means is
-    an autocorrelation-free standard error). Returns {obs_key: (C_total, ...)
-    array} plus '_'-prefixed diagnostics lists."""
+    an autocorrelation-free standard error).
+
+    The seeds run as ONE batched session (DQMC's sequence-`seed` support
+    folds the independent streams into the chain axis with the same RNG
+    keys and initial configurations as separate sessions) — one jit program
+    + one sweep loop instead of len(seeds), roughly halving gate wall-time
+    on an under-saturated chip.
+    Returns {obs_key: (len(seeds)*n_chains, ...) array} plus '_'-prefixed
+    pooled diagnostics (single-element lists, kept as lists for record-format
+    continuity with the per-seed runs of rounds 1-3)."""
     import jax.numpy as jnp
 
     mk = dict(dims=2, L=L, U=U, mu=mu)
@@ -91,14 +99,55 @@ def pooled_run(L: int = 8, beta: float = 10.0, U: float = 4.0,
                   print_rate=10 ** 9, dtype=jnp.dtype(dtype),
                   use_pallas=use_pallas, safe_mult=safe_mult,
                   g_refresh=g_refresh)
-    runs = [_run_one(mk, dict(common, seed=s), observables=observables)
-            for s in seeds]
-    out = {}
-    for key in runs[0]:
-        if key.startswith("_"):
-            out[key] = [r[key] for r in runs]
-        else:
-            out[key] = np.concatenate([r[key] for r in runs], axis=0)
+    run = _run_one(mk, dict(common, seed=tuple(seeds)),
+                   observables=observables)
+    return {key: ([val] if key.startswith("_") else val)
+            for key, val in run.items()}
+
+
+def _anchor_cache_path(cfg: Dict) -> str:
+    """Deterministic on-disk location for a pooled anchor run. The anchor
+    (drift-proof sm=1) is ground truth for a FIXED protocol: same seeds, same
+    sweep schedule, same lattice/model/dtype. Re-running it every bench run
+    re-derives the identical distribution at ~60% of each gate's cost, so
+    pooled anchors persist under MC_TPU_ANCHOR_CACHE (default
+    <repo>/.jax_bench_cache/anchors). A stale-but-correct anchor still
+    detects candidate bias — and catches regressions in the sm=1 path itself
+    (fresh candidate vs known-good anchor fails). Set MC_TPU_ANCHOR_CACHE=""
+    to disable. Delete the directory to force re-derivation."""
+    import hashlib
+    import json as _json
+    import os
+    base = os.environ.get(
+        "MC_TPU_ANCHOR_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_bench_cache", "anchors"))
+    if not base:
+        return ""
+    key = _json.dumps(
+        {k: (v.tolist() if isinstance(v, np.ndarray) else
+             list(v) if isinstance(v, tuple) else v)
+         for k, v in sorted(cfg.items())}, sort_keys=True)
+    h = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return os.path.join(base, f"anchor_{h}.npz")
+
+
+def load_or_run_anchor(cfg_for_key: Dict, **pooled_kwargs) -> Dict:
+    """pooled_run with a persistent on-disk cache (see _anchor_cache_path)."""
+    import os
+    path = _anchor_cache_path(cfg_for_key)
+    if path and os.path.exists(path):
+        with np.load(path, allow_pickle=True) as z:
+            out = {k: (z[k].tolist() if k.startswith("_") else z[k])
+                   for k in z.files}
+        out["_cached"] = True
+        return out
+    out = pooled_run(**pooled_kwargs)
+    if path:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, **{k: np.asarray(v, dtype=object)
+                          if k.startswith("_") else v
+                          for k, v in out.items()})
     return out
 
 
@@ -164,13 +213,15 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                       g_refresh=g_refresh, **cfg)
     anch = anchor_pool
     if anch is None:
-        anch = pooled_run(safe_mult=anchor_sm,
-                          use_pallas=(use_pallas if anchor_use_pallas is None
-                                      else anchor_use_pallas), **cfg)
+        a_pallas = use_pallas if anchor_use_pallas is None else anchor_use_pallas
+        anch = load_or_run_anchor(
+            dict(cfg, safe_mult=anchor_sm, use_pallas=a_pallas, version=1),
+            safe_mult=anchor_sm, use_pallas=a_pallas, **cfg)
     ok, zs, tols = compare_pools(cand, anch, alpha=alpha)
     return {
         "ok": ok,
         "seeds": list(seeds),
+        "anchor_cached": bool(anch.get("_cached", False)),
         "z": zs,
         "z_tol": tols,
         "candidate": {"safe_mult": safe_mult, "g_refresh": bool(g_refresh),

@@ -156,3 +156,29 @@ def test_use_pallas_auto_default():
               thermalization=0, dtype=jnp.float32)
     assert not mc.DQMC(model, **kw).ctx.use_pallas          # auto on CPU
     assert mc.DQMC(model, use_pallas=True, **kw).ctx.use_pallas
+
+
+def test_seed_sequence_batches_chains():
+    """DQMC(seed=(s1, s2)) folds the independent streams into the chain
+    axis: chains [n:2n] start from seed s2's exact initial state (BIT-equal
+    confs and RNG keys) and track a separate seed=s2 session to f32
+    rounding over a short run (matmul blocking depends on batch size, so
+    exact bit-equality across batch sizes is not guaranteed). The cross-sm
+    validation gates rely on this (validation.py::pooled_run)."""
+    import montecarlo_tpu as mc
+    model = mc.HubbardModelAttractive(dims=2, L=2, U=4.0, mu=0.0)
+    kw = dict(beta=1.0, delta_tau=0.1, n_chains=3, sweeps=8,
+              thermalization=2, measure_rate=2, dtype=jnp.float32,
+              print_rate=10 ** 9)
+    both = mc.DQMC(model, seed=(5, 9), **kw)
+    solo = mc.DQMC(model, seed=9, **kw)
+    assert both.n_chains == 6
+    np.testing.assert_array_equal(np.asarray(both.state["conf"])[3:],
+                                  np.asarray(solo.state["conf"]))
+    np.testing.assert_array_equal(np.asarray(both.state["key"])[3:],
+                                  np.asarray(solo.state["key"]))
+    both.run(verbose=False)
+    solo.run(verbose=False)
+    pa = np.asarray(both.observables()["occ"]["occ"].per_chain_mean)
+    pb = np.asarray(solo.observables()["occ"]["occ"].per_chain_mean)
+    np.testing.assert_allclose(pa[3:], pb, rtol=2e-3, atol=2e-3)

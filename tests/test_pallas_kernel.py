@@ -397,9 +397,13 @@ def test_fused_wrap_matches_separate_wrap(direction):
     assert np.max(np.abs(np.asarray(G2 - Gr))) < 2e-5
 
 
+@pytest.mark.slow
 def test_fuse_wrap_end_to_end_half_filling(monkeypatch):
     """MC_TPU_FUSE_WRAP=1 through the public API: sweep_pair runs the fused
-    kernel for every scanned slice and the physics stays at half filling."""
+    kernel for every scanned slice and the physics stays at half filling.
+    Slow tier: the lever is flag-gated OFF by default (retired r3 with A/B
+    numbers, ROADMAP) — its 60s interpret-mode run doesn't belong in the
+    per-change loop."""
     monkeypatch.setenv("MC_TPU_FUSE_WRAP", "1")
     model = HubbardModelAttractive(dims=2, L=4, U=4.0, mu=0.0)
     d = DQMC(model, beta=1.0, delta_tau=0.1, n_chains=8, seed=1,
