@@ -370,6 +370,9 @@ def main():
                             "propagation_drift": r[2]})(
             bench_dqmc(safe_mult=REFRESH_SM, g_refresh=True)),
         enabled=os.environ.get("BENCH_REFRESH", "1") == "1")
+    RESULT["conservative_mode"] = refresh_mode  # write-through: a SIGTERM
+    # during the gate below must not lose the measured mode (r4 lesson:
+    # l16's 753 s of data vanished from the partial record this way)
     if (isinstance(refresh_mode, dict) and "error" not in refresh_mode
             and VALIDATE and DTYPE != "float64"):
         def _refresh_gate():
@@ -416,6 +419,7 @@ def main():
             return {"chains": 64, "chain_sweeps_per_s": round(sps, 3),
                     "drift_max": d["max"], "acceptance": round(a, 4)}
         l16_mode = phase("l16", 700, _l16, est_warm=100)
+        RESULT["l16_mode"] = l16_mode  # write-through (see conservative_mode)
         if (isinstance(l16_mode, dict) and "error" not in l16_mode
                 and VALIDATE and DTYPE != "float64"
                 and os.environ.get("BENCH_L16_GATE", "1") == "1"):
@@ -450,6 +454,7 @@ def main():
                                      sweeps=2, safe_mult=CPLX_SM,
                                      use_pallas=USE_PALLAS)
         cplx_mode = phase("complex", 200, _cplx, est_warm=50)
+        RESULT["complex_mode"] = cplx_mode  # write-through
         if (isinstance(cplx_mode, dict) and "error" not in cplx_mode
                 and VALIDATE
                 and os.environ.get("BENCH_CPLX_GATE", "1") == "1"):

@@ -37,11 +37,13 @@ def _flux_ring(L, flux):
     return th
 
 
-def _run(L=4, flux=2.5, beta=2.0, seed=3, n_chains=16, sweeps=120,
-         thermalization=30):
+def _run(L=4, flux=2.5, beta=2.0, seed=3, n_chains=16, sweeps=40,
+         thermalization=10):
     # NOTE flux=pi is gauge-equivalent to a REAL Hamiltonian (one negative
     # bond), so the weights are exactly real there; flux=2.5 at beta=2 gives
-    # a measured |1 - <s>| ~ 6e-3 — comfortably detectable
+    # a measured |1 - <s>| ~ 6e-3 — comfortably detectable (measured at
+    # sweeps=40/th=10: 6.1e-3, same as the original 120/30 workload, at
+    # ~40% of the fast-tier cost)
     model = HubbardModelAttractive(dims=1, L=L, U=4.0, mu=0.1,
                                    peierls=_flux_ring(L, flux))
     mc = DQMC(model, beta=beta, delta_tau=0.1, n_chains=n_chains, seed=seed,
