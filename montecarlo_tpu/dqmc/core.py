@@ -167,6 +167,9 @@ def make_context(model, params, dtype=jnp.float64, update_dtype=None,
     users: auto selection changes the fp rounding and hence the Markov
     trajectory of large-lattice runs relative to versions that defaulted to
     rank-1; pass delay=0 to opt out (the algebra is identical either way).
+    Every default change that affects same-seed trajectories (kernel
+    selection, delay auto, QR variants) is logged one-per-line in NEWS.md
+    at the repository root.
     """
     T = np.asarray(model.hopping_matrix())
     dtau = params.delta_tau
