@@ -38,8 +38,12 @@ def bench_sweep(tag, df, chains=256, sweeps=1, sm=10):
     dt = time.time() - t0
     acc = float(jnp.sum(st["acc"])) / float(jnp.sum(st["prop"]))
     dmax = float(jnp.max(st["prop_err_max"]))
+    dmean = float(jnp.sum(st["prop_err_sum"])
+                  / jnp.maximum(1, jnp.sum(st["prop_err_n"])))
+    hist = [int(x) for x in jnp.sum(st["prop_err_hist"], axis=0)]
     print(f"{tag:28s} {chains*sweeps/dt:9.2f} cs/s  acc={acc:.4f} "
-          f"drift_max={dmax:.3g}", flush=True)
+          f"drift_max={dmax:.3g} drift_mean={dmean:.3g} exceed={hist}",
+          flush=True)
 
 
 def bench_qr_call(B=256, N=64, reps=20):
@@ -74,4 +78,5 @@ if __name__ == "__main__":
     bench_qr_call()
     bench_sweep("f64 sm=10 df=0 (XLA QR)", False)
     bench_sweep("f64 sm=10 df=1 (kernel)", True)
+    bench_sweep("f64 sm=1  df=0 (XLA QR)", False, sm=1)
     bench_sweep("f64 sm=1  df=1 (kernel)", True, sm=1)

@@ -1426,7 +1426,11 @@ def _qr_df_kernel(N, CB, Ath_in, Atl_in, Ath_ref, Atl_ref, Qh_ref, Ql_ref):
     iv_h = jnp.where(live, iv_h, jnp.float32(0.0))
     iv_l = jnp.where(live, iv_l, jnp.float32(0.0))
     vt_h, vt_l = _df_mul(th, tl, iv_h, iv_l)
-    v_h = vt_h + onehot_j * jnp.where(live, 1.0, 0.0)           # exact v_j=1
+    # NOTE: branches must be explicit f32 — bare python scalars materialize
+    # an f64 select under jax_enable_x64, which Mosaic cannot lay out
+    # (layout.h bitwidth<=32 check aborts the remote compile helper)
+    v_h = vt_h + onehot_j * jnp.where(live, jnp.float32(1.0),
+                                      jnp.float32(0.0))          # exact v_j=1
     v_l = vt_l
     nx_h_safe = jnp.where(live, s * nx_h, jnp.float32(1.0))
     nx_l_safe = jnp.where(live, s * nx_l, jnp.float32(0.0))
@@ -1508,8 +1512,8 @@ def qr_lanes_df():
         N = A.shape[-1]
         Af = A.reshape((-1, N, N))
         Ah, Al = _df_split_f64(Af)
-        from .pallas_util import map_lane_chunks, pick_vmem_lane_chunk
-        Qh, Ql, Rh, Rl = map_lane_chunks(
+        from .pallas_util import map_lane_chunks_seq, pick_vmem_lane_chunk
+        Qh, Ql, Rh, Rl = map_lane_chunks_seq(
             _qr_df_batched, Ah, Al,
             step=pick_vmem_lane_chunk(10 * N * N * 4))
         Q = Qh.astype(jnp.float64) + Ql.astype(jnp.float64)
@@ -1542,9 +1546,15 @@ def df_qr_ok(N) -> bool:
         return False
     if N not in _DF_QR_CACHE:
         try:
+            # probe the shape the kernel actually runs at: qr_lanes_df
+            # chunks the lane batch BEFORE the pallas_call, so a full-batch
+            # probe would reject configs that work (and at N=64 a (256,...)
+            # block overflows scoped VMEM)
+            from .pallas_util import pick_vmem_lane_chunk
+            Bp = min(256, pick_vmem_lane_chunk(10 * N * N * 4))
             jax.jit(_qr_df_batched).lower(
-                jax.ShapeDtypeStruct((256, N, N), jnp.float32),
-                jax.ShapeDtypeStruct((256, N, N), jnp.float32)).compile()
+                jax.ShapeDtypeStruct((Bp, N, N), jnp.float32),
+                jax.ShapeDtypeStruct((Bp, N, N), jnp.float32)).compile()
             _DF_QR_CACHE[N] = True
         except Exception:  # pragma: no cover
             _DF_QR_CACHE[N] = False

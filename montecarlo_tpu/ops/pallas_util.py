@@ -28,8 +28,14 @@ def pick_vmem_lane_chunk(per_lane_bytes: int,
     for c in (256, 128):
         if c * per_lane_bytes <= budget:
             return c
-    c = budget // per_lane_bytes
-    return max(8, min(128, (c // 8) * 8))
+    c = int(budget // per_lane_bytes)
+    # power of two so the step divides the common 256/512-chain batches:
+    # uniform chunks take the lax.map path (one chunk live at a time) instead
+    # of ragged unrolled calls, whose operands XLA double-buffers in VMEM
+    p = 8
+    while p * 2 <= min(128, c):
+        p *= 2
+    return p
 
 
 def pick_vmem_lane_block(B: int, per_lane_bytes: int,

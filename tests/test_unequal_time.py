@@ -98,8 +98,10 @@ def test_combined_iterator_accuracy_strong_coupling(recalc_mult, tol):
     """CombinedGreensIterator self-check vs direct greens_kl at STRONG
     coupling (U=4), where the Gll similarity advance amplifies factor errors
     ~2-3x per slice — the default recalculate=safe_mult tier must stay at
-    ~1e-12 (reference accuracy(it) semantics, unequal_time_stack.jl:885-889)."""
-    model, params, ctx, consts, conf = _setup(beta=3.0, U=4.0)
+    ~1e-12 (reference accuracy(it) semantics, unequal_time_stack.jl:885-889).
+    beta=5 so the config shares test_gll_matches_equal_time's compile family
+    (the fast tier's wall time is distinct jit families, not physics)."""
+    model, params, ctx, consts, conf = _setup(beta=5.0, U=4.0)
     G00 = core.greens_from_scratch(ctx, consts, conf, 0)
     err = ut.combined_accuracy(ctx, consts, conf, G00,
                                recalculate=recalc_mult * ctx.sm)
@@ -133,8 +135,9 @@ def test_iterator_reference_gate_config():
 def test_greens_range_iterator(l):
     """General GreensIterator: all G(k, l) for k = l..M at arbitrary l
     (reference GreensIterator{:, l}, unequal_time_stack.jl:644-726 — the
-    reference only supports ls=0; arbitrary l is an extension)."""
-    model, params, ctx, consts, conf = _setup(beta=4.0, U=4.0)
+    reference only supports ls=0; arbitrary l is an extension). beta=5
+    shares the test_gll_matches_equal_time compile family."""
+    model, params, ctx, consts, conf = _setup(beta=5.0, U=4.0)
     err = ut.greens_range_accuracy(ctx, consts, conf, l,
                                    recalculate=ctx.sm)
     assert float(err) < 1e-10, f"l={l}: {float(err)}"
@@ -142,8 +145,9 @@ def test_greens_range_iterator(l):
 
 def test_combined_iterator_yields_all_M():
     """The scan-based iterator must call step_fn exactly M times (one per
-    l = 1..M), checked by counting through the accumulator."""
-    model, params, ctx, consts, conf = _setup(beta=2.0, U=2.0)
+    l = 1..M), checked by counting through the accumulator. Default setup
+    (beta=1) shares test_greens_kl_vs_naive's compile family."""
+    model, params, ctx, consts, conf = _setup()
     G00 = core.greens_from_scratch(ctx, consts, conf, 0)
 
     def step(acc, G0l, Gl0, Gll):
