@@ -78,9 +78,12 @@ if _cache_dir:
 import jax.numpy as jnp  # noqa: E402
 
 BASELINE_EST_SWEEPS_PER_S = 20.0
-# strict-f64 throughput bound measured r2 on v5e (256 chains, sm=10); the
-# regression assertion below warns if a round drops >30% under it
-F64_BOUND_SWEEPS_PER_S = 24.0
+# strict-f64 throughput bound on v5e (256 chains, sm=10): 76.7 measured r4
+# with the double-float Pallas QR kernel (was 24.0 on the XLA-emulated QR,
+# r2). The regression assertion below warns if a round drops >30% under it —
+# e.g. if df_qr_ok's compile probe starts failing and f64 silently falls
+# back to the ~24/s XLA path.
+F64_BOUND_SWEEPS_PER_S = 76.0
 
 N_CHAINS = int(os.environ.get("BENCH_CHAINS", "256"))
 L = int(os.environ.get("BENCH_L", "8"))
