@@ -173,8 +173,27 @@ def compare_pools(cand: Dict, anch: Dict, alpha: float = 0.01):
         err = np.sqrt(np.abs(e1) ** 2 + np.abs(e2) ** 2)
         err = np.maximum(err, 1e-12)
         n_comp = int(np.size(m1))
-        zs[key] = float(np.max(np.abs(m1 - m2) / err))
-        tols[key] = float(np.sqrt(2.0 * np.log(2.0 * n_comp / alpha)))
+        # DEGENERATE components: when every chain agrees to ≥5 digits the
+        # quantity is deterministic for this config up to per-chain rounding
+        # (e.g. sign == 1 exactly in a pure-gauge complex session; measured
+        # cross-chain SE ~1e-6 from f32 phase accumulation) and a z-test is
+        # meaningless — a systematic rounding gap between modes is a huge
+        # multiple of the ~0 sampling error (measured: pure-gauge sign
+        # z = 37 for an absolute deviation of 4e-5 while every physical
+        # observable passed). No physical MC observable converges to 1e-5
+        # relative in a few hundred sweeps, so only deterministic
+        # quantities qualify. Those components get an ABSOLUTE gate
+        # instead: |m1 - m2| < 1e-3 * scale, far below any physically
+        # meaningful bias yet far above rounding noise.
+        scale = np.maximum(np.maximum(np.abs(m1), np.abs(m2)), 1e-30)
+        degen = err < 1e-5 * scale
+        zdeg = np.abs(m1 - m2) / (1e-3 * scale)   # <1 == pass, scaled like z
+        zstat = np.abs(m1 - m2) / err
+        tol = float(np.sqrt(2.0 * np.log(2.0 * n_comp / alpha)))
+        # report the max over components of each component's own criterion,
+        # normalized so the recorded z is comparable to its recorded tol
+        zs[key] = float(np.max(np.where(degen, zdeg * tol, zstat)))
+        tols[key] = tol
         ok = ok and zs[key] < tols[key]
     return bool(ok), zs, tols
 
