@@ -49,7 +49,10 @@ import time
 from functools import partial
 
 T0 = time.time()
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1140"))
+# 2700 s: the driver's own kill arrived at ~3550 s elapsed in the one run
+# that hit it (r4 partial record), so 45 min leaves ~14 min of headroom
+# while fitting every phase warm (~20 min) plus one or two cold compiles
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
 RESERVE_S = 20.0  # emit + teardown slack held back from every phase decision
 
 
@@ -101,8 +104,12 @@ USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 VALIDATE = os.environ.get("BENCH_VALIDATE", "1") == "1"
 REFRESH_SM = int(os.environ.get("BENCH_REFRESH_SM", "5"))
 # complex (Peierls) shipped safe_mult — its own cross-sm gate below validates
-# exactly this value; if the gate fails the shipped value must drop
-CPLX_SM = int(os.environ.get("BENCH_CPLX_SM", str(SAFE_MULT)))
+# exactly this value; if the gate fails the shipped value must drop.
+# Default 5, NOT the real-session 10: the r4 on-device gate REJECTED complex
+# sm=10 (average-sign deviation ~0.1 from the sm=1 anchor, z=37 — real phase
+# accumulation bias, consistent with r2's complex drift mean ~38) and PASSED
+# sm=5 (sign z=0.97, all observables in tolerance).
+CPLX_SM = int(os.environ.get("BENCH_CPLX_SM", "5"))
 
 PHASE_S = {}
 SKIPPED = []
@@ -472,7 +479,9 @@ def main():
                 return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
                                       safe_mult=CPLX_SM,
                                       use_pallas=USE_PALLAS, peierls=theta)
-            g = phase("gate_complex", 600, _cplx_gate, est_warm=150)
+            # warm here still means rerunning the candidate pool (~370 s
+            # measured at sm=5); only the anchor + compiles are cached
+            g = phase("gate_complex", 900, _cplx_gate, est_warm=400)
             if isinstance(g, dict) and "ok" in g:
                 g.pop("_anchor_pool", None)
                 cplx_mode["cross_sm_validation"] = _gate_fields(g)
