@@ -417,42 +417,7 @@ def main():
                  est_warm=110)
     RESULT["susceptibility_s_per_measured_sweep"] = susc
 
-    # ---- 6. L=16 (N=256) operating point + its own cross-sm gate --------
-    # gate protocol: same kernels as shipped (site-major delayed + MXU QR)
-    # at the shipped safe_mult vs the sm=1 anchor with the same kernels, at
-    # beta=2 (same 10-slice stabilization windows as the headline; full
-    # beta=10 at sm=1/N=256 costs ~hours and lives in VALIDATION.md instead)
-    l16_mode = None
-    if L < 16 and os.environ.get("BENCH_L16", "1") == "1":
-        def _l16():
-            sps, _, d, a = bench_dqmc(sweeps=2, lattice_L=16, chains=64)
-            return {"chains": 64, "chain_sweeps_per_s": round(sps, 3),
-                    "drift_max": d["max"], "acceptance": round(a, 4)}
-        l16_mode = phase("l16", 700, _l16, est_warm=100)
-        RESULT["l16_mode"] = l16_mode  # write-through (see conservative_mode)
-        if (isinstance(l16_mode, dict) and "error" not in l16_mode
-                and VALIDATE and DTYPE != "float64"
-                and os.environ.get("BENCH_L16_GATE", "1") == "1"):
-            def _l16_gate():
-                from montecarlo_tpu.validation import (EQUAL_TIME_OBSERVABLES,
-                                                       cross_sm_check)
-                return cross_sm_check(
-                    L=16, beta=float(os.environ.get("BENCH_L16_GATE_BETA",
-                                                    "2.0")),
-                    dtype=DTYPE, safe_mult=SAFE_MULT, use_pallas=USE_PALLAS,
-                    n_chains=32, sweeps=200, thermalization=60,
-                    observables=EQUAL_TIME_OBSERVABLES)
-            g = phase("gate_l16", 900, _l16_gate, est_warm=250)
-            if isinstance(g, dict) and "ok" in g:
-                g.pop("_anchor_pool", None)
-                l16_mode["cross_sm_validation"] = _gate_fields(g)
-                l16_mode["cross_sm_validation"]["beta"] = float(
-                    os.environ.get("BENCH_L16_GATE_BETA", "2.0"))
-            elif g is not None:
-                l16_mode["cross_sm_validation"] = g
-    RESULT["l16_mode"] = l16_mode
-
-    # ---- 7. complex (Peierls) mode + its own cross-sm gate --------------
+    # ---- 6. complex (Peierls) mode + its own cross-sm gate --------------
     cplx_mode = None
     if DTYPE == "float32" and os.environ.get("BENCH_CPLX", "1") == "1":
         def _cplx():
@@ -489,7 +454,7 @@ def main():
                 cplx_mode["cross_sm_validation"] = g
     RESULT["complex_mode"] = cplx_mode
 
-    # ---- 8. strict-f64 validation mode (pinned every round) -------------
+    # ---- 7. strict-f64 validation mode (pinned every round) -------------
     f64_mode = None
     if DTYPE != "float64" and os.environ.get("BENCH_F64", "1") == "1":
         def _f64():
@@ -501,17 +466,56 @@ def main():
         f64_mode = phase("f64", 300, _f64, est_warm=60)
     RESULT["f64_mode"] = f64_mode
 
-    # ---- 9. chain-scaling point (512-chain saturation, VERDICT r3 #7) ---
+    # ---- 8. chain-scaling point (512-chain saturation, VERDICT r3 #7) ---
     c512 = phase("chains512", 90,
                  lambda: round(bench_dqmc(chains=512, sweeps=2)[0], 3),
                  enabled=os.environ.get("BENCH_C512", "1") == "1",
                  est_warm=25)
     RESULT["chains512_sweeps_per_s"] = c512
 
-    # ---- 10. Ising secondary metric -------------------------------------
+    # ---- 9. Ising secondary metric --------------------------------------
     ising = phase("ising", 120, bench_ising, est_warm=40)
     RESULT["ising_spin_flips_per_s"] = (round(ising) if isinstance(
         ising, (int, float)) else ising)
+
+    # ---- 10. L=16 (N=256) operating point + its own cross-sm gate -------
+    # LAST on purpose: these are the two most expensive phases when the
+    # compile cache is cold (measured 637 s + 1296 s after a TPU-worker
+    # restart invalidated the cache), and running them earlier starved the
+    # four cheap phases above out of the budget. Gate protocol: same kernels
+    # as shipped (site-major delayed + MXU QR) at the shipped safe_mult vs
+    # the sm=1 anchor with the same kernels, at beta=2 (same 10-slice
+    # stabilization windows as the headline; full beta=10 at sm=1/N=256
+    # costs ~hours and lives in VALIDATION.md instead)
+    l16_mode = None
+    if L < 16 and os.environ.get("BENCH_L16", "1") == "1":
+        def _l16():
+            sps, _, d, a = bench_dqmc(sweeps=2, lattice_L=16, chains=64)
+            return {"chains": 64, "chain_sweeps_per_s": round(sps, 3),
+                    "drift_max": d["max"], "acceptance": round(a, 4)}
+        l16_mode = phase("l16", 700, _l16, est_warm=100)
+        RESULT["l16_mode"] = l16_mode  # write-through (see conservative_mode)
+        if (isinstance(l16_mode, dict) and "error" not in l16_mode
+                and VALIDATE and DTYPE != "float64"
+                and os.environ.get("BENCH_L16_GATE", "1") == "1"):
+            def _l16_gate():
+                from montecarlo_tpu.validation import (EQUAL_TIME_OBSERVABLES,
+                                                       cross_sm_check)
+                return cross_sm_check(
+                    L=16, beta=float(os.environ.get("BENCH_L16_GATE_BETA",
+                                                    "2.0")),
+                    dtype=DTYPE, safe_mult=SAFE_MULT, use_pallas=USE_PALLAS,
+                    n_chains=32, sweeps=200, thermalization=60,
+                    observables=EQUAL_TIME_OBSERVABLES)
+            g = phase("gate_l16", 900, _l16_gate, est_warm=250)
+            if isinstance(g, dict) and "ok" in g:
+                g.pop("_anchor_pool", None)
+                l16_mode["cross_sm_validation"] = _gate_fields(g)
+                l16_mode["cross_sm_validation"]["beta"] = float(
+                    os.environ.get("BENCH_L16_GATE_BETA", "2.0"))
+            elif g is not None:
+                l16_mode["cross_sm_validation"] = g
+    RESULT["l16_mode"] = l16_mode
 
     _emit()
 
