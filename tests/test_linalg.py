@@ -242,3 +242,31 @@ def test_argsort_desc_matches_argsort():
                                              np.asarray(ipiv), -1),
                           np.broadcast_to(np.arange(64), (32, 64)))
     assert np.array_equal(np.asarray(rank), np.asarray(ipiv))
+
+
+def test_udt_well_conditioned_contract():
+    """CholeskyQR2 UDT (experimental stab_method="cholqr", retired r4): on its
+    stated contract — well-conditioned W with explicit column grading D — it
+    must reconstruct W·diag(D) with orthonormal U and unit-diagonal T. (Outside
+    the contract, deep sm=1 stacks invert the D ordering and the unpivoted
+    D_j/D_i fold in T overflows — measured drift 4.4e4 at sm=1, NaN at sm=10;
+    see VALIDATION.md r4. The path stays flag-gated, not default anywhere.)
+    """
+    from montecarlo_tpu.ops.linalg import udt_well_conditioned
+    rng = np.random.default_rng(7)
+    n, b = 32, 4
+    W = jnp.asarray(np.eye(n) + 0.3 * rng.normal(size=(b, n, n)),
+                    jnp.float32)  # cond(W) ~ few
+    D = jnp.asarray(np.exp(rng.uniform(-3, 3, size=(b, n))), jnp.float32)
+    U, d, T, piv = udt_well_conditioned(W, D)
+    WD = np.asarray(W) * np.asarray(D)[:, None, :]
+    recon = np.einsum('bij,bj,bjk->bik', np.asarray(U), np.asarray(d),
+                      np.asarray(T))
+    scale = np.max(np.abs(WD))
+    assert np.max(np.abs(recon - WD)) < 1e-5 * scale
+    orth = np.einsum('bji,bjk->bik', np.asarray(U), np.asarray(U))
+    assert np.max(np.abs(orth - np.eye(n))) < 1e-5
+    diagT = np.diagonal(np.asarray(T), axis1=-2, axis2=-1)
+    assert np.max(np.abs(diagT - 1.0)) < 1e-5
+    assert np.array_equal(np.asarray(piv),
+                          np.broadcast_to(np.arange(n), (b, n)))
