@@ -29,8 +29,11 @@ def test_equal_config_instances_share_traces():
 
 
 def test_different_consts_do_not_collide():
-    a = _sim(U=4.0, beta=0.5, n_chains=2)
-    b = _sim(U=2.0, beta=0.5, n_chains=2)  # different U -> different consts
+    # default beta/n_chains so the executed traces share the suite's common
+    # (L=2, beta=1, nc=4) compile family instead of adding a (beta=0.5, nc=2)
+    # one; only U differs — that's the consts-content collision under test
+    a = _sim(U=4.0)
+    b = _sim(U=2.0)  # different U -> different consts
     fa = core.jitted_vmapped("sweep_pair", a.ctx, a.consts)
     fb = core.jitted_vmapped("sweep_pair", b.ctx, b.consts)
     assert fa is not fb
