@@ -145,6 +145,20 @@ def _emit(partial_reason=None):
 def _sigterm(signum, frame):  # pragma: no cover - driver timeout path
     _progress("SIGTERM received — emitting partial record")
     _emit(partial_reason="SIGTERM (driver timeout) — partial record")
+    # Try to release the TPU client before dying: a bare os._exit leaves the
+    # single-client pool claim held, and the NEXT bench process then blocks
+    # ~10+ min on its first device op (observed r4: run killed at t+1490s
+    # wedged the following run's headline). Bound the attempt with a
+    # hard-exit watchdog — the device may be mid-computation and cleanup can
+    # itself hang.
+    import threading
+    threading.Thread(target=lambda: (time.sleep(10), os._exit(0)),
+                     daemon=True).start()
+    try:
+        jax.clear_caches()
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
     os._exit(0)
 
 
@@ -360,7 +374,10 @@ def main():
             from montecarlo_tpu.validation import cross_sm_check
             return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
                                   safe_mult=SAFE_MULT, use_pallas=USE_PALLAS)
-        g = phase("gate_headline", 500, _headline_gate, est_warm=120)
+        # cold est raised 500 -> 1100 (r4 driver-format run: >1300 s on a
+        # 1-core box before the run's own timeout, compile-bound; the warm
+        # path with a cached anchor is unaffected)
+        g = phase("gate_headline", 1100, _headline_gate, est_warm=120)
         if isinstance(g, dict) and "ok" in g:
             anchor_pool = g.pop("_anchor_pool", None)
             RESULT["cross_sm_validation"] = _gate_fields(g)
