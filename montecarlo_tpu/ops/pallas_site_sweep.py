@@ -189,7 +189,7 @@ def _mxu_wrap_block(Gv, A, Bt, srow_in, scol_in, srow_out, scol_out, N):
 
 
 def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
-                    *refs, sites_per_step=1, wrap_dir=0):
+                    *refs, sites_per_step=1, wrap_dir=0, col_read=False):
     """One grid step = `sites_per_step` consecutive sites for one chain block
     (grid = (n_cb, N // sites_per_step); default 1 = one site per step).
     sigma_ref (N,1,CB) f32 ±1; G_ref (F,N,N,CB); Gt = swap(-3,-2) of G.
@@ -202,7 +202,16 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
     are computed op-for-op the same); G itself may differ at fusion-level
     rounding (~1e-7) where XLA fuses consecutive unrolled updates.
 
-    Two Gt modes (picked by a cached Mosaic compile probe, `_gt_scratch_ok`):
+    Three Gt modes (picked by cached Mosaic compile probes, `_colread_ok` /
+    `_gt_scratch_ok`):
+      * col_read=True: NO transpose copy at all. Column i is read straight
+        out of G as a dynamic SUBLANE slice G_ref[f, :, ds(i,1), :] —
+        (N,1,CB), exactly the outer-dim orientation the rank-1 update
+        consumes, so no per-site transpose either. This removes the whole
+        Gt maintenance stream (a second full-block RMW per site), i.e.
+        HALF of the kernel's VPU work and VMEM traffic, and frees a
+        resident VMEM block. Bit-identical to the Gt modes: the Gt update
+        multiplied the same value pairs, so Gt stayed exactly G^T.
       * gt_scratch=True: Gt lives in VMEM scratch, built by an in-kernel
         sublane<->outer transpose at site 0 — the caller neither materializes
         nor reads Gt, saving one (F,N,N,CB) HBM round trip per call and one
@@ -227,6 +236,9 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
         # leading axis): (eT2, eT2invᵀ) for +1, (eT2inv, eT2ᵀ) for -1.
         (u_ref, s_in, G_in, Ml_ref, MrT_ref,
          sigma_ref, G_ref, acc_ref, nneg_ref, Gt_ref) = refs
+    elif col_read:
+        u_ref, s_in, G_in, sigma_ref, G_ref, acc_ref, nneg_ref = refs
+        Gt_ref = None
     elif gt_scratch:
         u_ref, s_in, G_in, sigma_ref, G_ref, acc_ref, nneg_ref, Gt_ref = refs
     else:
@@ -254,8 +266,9 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
                     None, None, evinv_r, ev_c, N)
         else:
             G_ref[...] = G_in[...]
-        Gt_ref[...] = (jnp.swapaxes(G_ref[...], 1, 2)
-                       if (gt_scratch or wrap_dir) else Gt_in[...])
+        if Gt_ref is not None:
+            Gt_ref[...] = (jnp.swapaxes(G_ref[...], 1, 2)
+                           if (gt_scratch or wrap_dir) else Gt_in[...])
 
     for di in range(sites_per_step):
         i = i0 + di
@@ -271,7 +284,12 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
         rprod = None
         for f, sg in enumerate(signs):
             row = G_ref[f, pl.ds(i, 1)]                           # (1,N,CB)
-            col = Gt_ref[f, pl.ds(i, 1)]                          # (1,N,CB)
+            if col_read:
+                # dynamic SUBLANE slice of G itself — already in the
+                # outer-dim orientation the update consumes (no transpose)
+                col = G_ref[f, :, pl.ds(i, 1), :]                 # (N,1,CB)
+            else:
+                col = Gt_ref[f, pl.ds(i, 1)]                      # (1,N,CB)
             gii = jnp.sum(row * onehot_j, axis=1, keepdims=True)  # (1,1,CB)
             delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0
             r = 1.0 + delta * (1.0 - gii)
@@ -282,12 +300,20 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
         w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
         accept = u_i < w * detratio                               # (1,1,CB)
 
+        if col_read:
+            onehot_o = jnp.where(
+                lax.broadcasted_iota(jnp.int32, (N, 1, 1), 0) == i,
+                jnp.float32(1.0), jnp.float32(0.0))               # (N,1,1)
         for f in range(F):
             x = jnp.where(accept, deltas[f] / rs[f],
                           jnp.zeros_like(rs[f]))                  # (1,1,CB)
+            rowb = rows[f]                                        # (1,N,CB)
+            if col_read:
+                xIG = x * (onehot_o - cols[f])                    # (N,1,CB)
+                G_ref[f] = G_ref[f] - xIG * rowb                  # (N,N,CB)
+                continue
             IG = onehot_j - cols[f]                               # (1,N,CB)
             xIG = (x * IG).swapaxes(0, 1)                         # (N,1,CB)
-            rowb = rows[f]                                        # (1,N,CB)
             G_ref[f] = G_ref[f] - xIG * rowb                      # (N,N,CB)
             # transpose copy: Gt[b, a] -= row[b] * xIG[a]
             Gt_ref[f] = Gt_ref[f] - rowb.swapaxes(0, 1) * (x * IG)
@@ -595,6 +621,33 @@ def _gt_scratch_ok(variant, N, F):
             _GT_SCRATCH_CACHE[key] = False
     return _GT_SCRATCH_CACHE[key]
 
+
+
+_COLREAD_CACHE = {}
+
+
+def _colread_ok(N, F):
+    """Cached compile probe for the no-Gt (col_read) chain-on-lanes kernel:
+    needs Mosaic to lower a dynamic SUBLANE slice G_ref[f, :, ds(i,1), :] of
+    a VMEM block. Probed at the production chain block inside a scan (like
+    every other site-kernel probe). Override with MC_TPU_COLREAD=0/1."""
+    import os
+    env = os.environ.get("MC_TPU_COLREAD")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    if jax.default_backend() == "cpu":
+        return True  # interpreter mode
+    key = (N, F)
+    if key not in _COLREAD_CACHE:
+        kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
+                  det_power=2 // F, use_boson=False)
+        C = 128
+        fn = functools.partial(_site_sweep_batched, _force_colread=True, **kw)
+        args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
+                jax.ShapeDtypeStruct((C, N), jnp.int32),
+                jax.ShapeDtypeStruct((C, N), jnp.float32))
+        _COLREAD_CACHE[key] = _probe_compiles(fn, args)
+    return _COLREAD_CACHE[key]
 
 
 def _sites_per_step(N):
@@ -926,7 +979,7 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
 
 def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
                         det_power, use_boson, _force_scratch=None,
-                        wrap_dir=0):
+                        wrap_dir=0, _force_colread=None):
     """Batched fused sweep. G: (C,F,N,N) f32, sigma: (C,N), u: (C,N).
     Returns (G, sigma, acc (C,), nneg (C,)). Dispatches to the chain-on-lanes
     kernel for N <= 128 and the site-major kernel beyond.
@@ -944,9 +997,16 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
             return _site_sweep_sitemajor_delayed(G, sigma, u, **kw)
         return _site_sweep_sitemajor(G, sigma, u,
                                      _force_scratch=_force_scratch, **kw)
+    if wrap_dir or _force_scratch is not None:
+        col_read = False  # wrap fusion keeps the scratch-Gt layout
+    elif _force_colread is not None:
+        col_read = bool(_force_colread)
+    else:
+        col_read = _colread_ok(N, F)
     scratch = True if wrap_dir else (
-        _force_scratch if _force_scratch is not None
-        else _gt_scratch_ok("batched", N, F))
+        False if col_read else (
+            _force_scratch if _force_scratch is not None
+            else _gt_scratch_ok("batched", N, F)))
     if wrap_dir:
         # wrap fusion holds ~5 (N,N,CB)-sized f32 blocks in scoped VMEM at
         # once: G in + G out + Gt scratch + the MXU wrap's Z/W stack
@@ -962,7 +1022,8 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
         S -= 1
     kern = functools.partial(_batched_kernel, float(lamb), tuple(signs),
                              int(det_power), bool(use_boson), N, F, CB,
-                             scratch, sites_per_step=S, wrap_dir=int(wrap_dir))
+                             scratch, sites_per_step=S, wrap_dir=int(wrap_dir),
+                             col_read=col_read)
     interpret = jax.default_backend() == "cpu"
     Gk = jnp.transpose(G, (1, 2, 3, 0))                       # (F,N,N,C)
     sig = jnp.transpose(sigma.astype(jnp.float32), (1, 0))[:, None, :]
@@ -983,7 +1044,9 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
     out_specs = [rowspec, bigspec]
     out_shape = [vec_shape, big_shape]
     scratch_shapes = []
-    if scratch:
+    if col_read:
+        pass  # no Gt at all — neither operand, output, nor scratch
+    elif scratch:
         scratch_shapes = [pltpu.VMEM((F, N, N, CB), jnp.float32)]
     else:
         in_specs.append(bigspec)
@@ -1001,7 +1064,7 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
     )(*operands)
-    if scratch:
+    if col_read or scratch:
         sig_out, G_out, accv, nnegv = outs
     else:
         sig_out, G_out, _Gt, accv, nnegv = outs

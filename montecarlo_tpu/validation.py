@@ -208,7 +208,11 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                    g_refresh: bool = False, peierls=None,
                    anchor_pool: Optional[Dict] = None,
                    anchor_use_pallas: Optional[bool] = None,
-                   observables: Sequence[str] = DEFAULT_OBSERVABLES) -> Dict:
+                   observables: Sequence[str] = DEFAULT_OBSERVABLES,
+                   cand_sweeps: Optional[int] = None,
+                   cand_thermalization: Optional[int] = None,
+                   cand_seeds: Optional[Sequence[int]] = None,
+                   cand_n_chains: Optional[int] = None) -> Dict:
     """Matched-seed comparison of the candidate (dtype, safe_mult, kernels)
     mode against the drift-proof anchor (same dtype, safe_mult=anchor_sm),
     pooled over multiple independent seeds.
@@ -220,6 +224,16 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
     site-major + MXU QR, anchor = plain XLA), turning the gate into a joint
     kernel-rounding + drift check.
 
+    `cand_*`: optional CANDIDATE-protocol overrides (fewer sweeps / seeds /
+    chains) that leave the anchor protocol — and therefore its on-disk cache
+    key — untouched. The z-test stays valid with asymmetric pools (each
+    pool's standard error is computed from its own chain scatter and the two
+    add in quadrature); a smaller candidate pool only WIDENS the error bars,
+    i.e. it can cost sensitivity but never produces a false alarm. Used by
+    bench.py's gate_complex to fit the driver's observed ~30-min kill budget
+    (VERDICT r4 task 1c) while keeping the full-protocol anchor as ground
+    truth.
+
     Returns {"ok": bool, "z": {obs: max z-score}, per-observable
     Bonferroni-scaled thresholds, acc + drift stats, "_anchor_pool": the
     anchor pool for reuse (strip '_'-keys before serializing)}.
@@ -228,8 +242,14 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
                sweeps=sweeps, thermalization=thermalization,
                measure_rate=measure_rate, seeds=seeds, peierls=peierls,
                observables=observables)
+    cand_cfg = dict(cfg)
+    for k, v in (("sweeps", cand_sweeps),
+                 ("thermalization", cand_thermalization),
+                 ("seeds", cand_seeds), ("n_chains", cand_n_chains)):
+        if v is not None:
+            cand_cfg[k] = v
     cand = pooled_run(safe_mult=safe_mult, use_pallas=use_pallas,
-                      g_refresh=g_refresh, **cfg)
+                      g_refresh=g_refresh, **cand_cfg)
     anch = anchor_pool
     if anch is None:
         a_pallas = use_pallas if anchor_use_pallas is None else anchor_use_pallas
@@ -244,6 +264,9 @@ def cross_sm_check(L: int = 8, beta: float = 10.0, U: float = 4.0,
         "z": zs,
         "z_tol": tols,
         "candidate": {"safe_mult": safe_mult, "g_refresh": bool(g_refresh),
+                      "sweeps": cand_cfg["sweeps"],
+                      "seeds": list(cand_cfg["seeds"]),
+                      "n_chains": cand_cfg["n_chains"],
                       "acc": cand["_acc"],
                       "perr_mean": cand["_perr_mean"],
                       "perr_hist": cand["_perr_hist"]},

@@ -211,6 +211,27 @@ def test_gt_materialized_fallback_matches_scratch():
         assert jnp.array_equal(x, y)
 
 
+@pytest.mark.parametrize("F,signs,det_power,use_boson",
+                         [(1, (1.0,), 2, True), (2, (1.0, -1.0), 1, False)])
+def test_colread_matches_gt_modes(F, signs, det_power, use_boson):
+    """The no-Gt (col_read) kernel — column i read as a dynamic sublane
+    slice of G itself — must be bit-identical to both Gt modes: the Gt
+    update multiplied exactly the same value pairs, so Gt was always
+    bit-equal to G^T."""
+    key = jax.random.PRNGKey(12)
+    C, N = 4, 16
+    kG, ks, ku = jax.random.split(key, 3)
+    G = (jax.random.normal(kG, (C, F, N, N), jnp.float32) * 0.3
+         + 0.25 * jnp.eye(N, dtype=jnp.float32))
+    sigma = jnp.where(jax.random.bernoulli(ks, 0.5, (C, N)), 1, -1)
+    u = jax.random.uniform(ku, (C, N), jnp.float32)
+    kw = dict(lamb=0.4, signs=signs, det_power=det_power, use_boson=use_boson)
+    a = pss._site_sweep_batched(G, sigma, u, _force_scratch=True, **kw)
+    b = pss._site_sweep_batched(G, sigma, u, _force_colread=True, **kw)
+    for x, y in zip(a, b):
+        assert jnp.array_equal(x, y)
+
+
 @pytest.mark.slow
 def test_pallas_dqmc_end_to_end():
     """Full DQMC run with use_pallas must match the plain f32 run exactly in
