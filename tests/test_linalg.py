@@ -180,8 +180,10 @@ def _graded_dirty_R(key, B, N, dtype=jnp.float32, spread=8.0):
 def test_tri_unit_inv_matches_substitution(N):
     from montecarlo_tpu.ops import linalg
     key = jax.random.PRNGKey(3)
-    R, _ = _graded_dirty_R(key, 16, N)
-    X = jax.random.normal(jax.random.PRNGKey(4), (16, N, N), jnp.float32)
+    # B=4: the batch axis adds no coverage here and the interpret-mode
+    # udt_dirty that builds R scales linearly in it (B=16 cost 10 s)
+    R, _ = _graded_dirty_R(key, 4, N)
+    X = jax.random.normal(jax.random.PRNGKey(4), (4, N, N), jnp.float32)
     ref = jax.lax.linalg.triangular_solve(R, X, left_side=False, lower=False)
     got = X @ linalg.tri_unit_inv(R)
     scale = np.max(np.abs(np.asarray(ref)))
@@ -215,8 +217,10 @@ def test_tri_unit_inv_complex():
 
 def test_rdiv_dirty_tri_inv_path_matches_solve_path():
     from montecarlo_tpu.ops import linalg
-    R, piv = _graded_dirty_R(jax.random.PRNGKey(8), 16, 64)
-    A = jax.random.normal(jax.random.PRNGKey(9), (16, 64, 64), jnp.float32)
+    # (8, 32): N=32 still exercises the blocked path (2 blocks of 16);
+    # (16, 64) spent 11 s of the fast tier on the same comparison
+    R, piv = _graded_dirty_R(jax.random.PRNGKey(8), 8, 32)
+    A = jax.random.normal(jax.random.PRNGKey(9), (8, 32, 32), jnp.float32)
     old = linalg.TRI_INV
     try:
         linalg.TRI_INV = False

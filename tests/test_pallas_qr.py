@@ -365,7 +365,10 @@ def test_fused_udt_matches_reference_path(monkeypatch):
     """udt_dirty through the fused kernel must match the unfused XLA
     postscale path bit-for-bit in interpret mode (same fp ops)."""
     from montecarlo_tpu.ops import linalg
-    A = _graded(jax.random.PRNGKey(3), 6, 64)
+    # (3, 32): the fused/unfused comparison is shape-generic (same fp ops
+    # either way) and interpret-mode cost scales ~B*N^3 — (6, 64) spent 14 s
+    # of the fast tier on identical coverage
+    A = _graded(jax.random.PRNGKey(3), 3, 32)
     monkeypatch.setenv("MC_TPU_FUSED_UDT", "0")
     Q0, d0, R0, p0 = linalg.udt_dirty(A)
     monkeypatch.setenv("MC_TPU_FUSED_UDT", "1")
@@ -401,7 +404,9 @@ def test_fused_greens_solve_matches_reference(monkeypatch):
     path, on strongly graded UDT factors."""
     from montecarlo_tpu.ops import linalg
     key = jax.random.PRNGKey(5)
-    B, N = 4, 64
+    # shape-generic comparison; (4, 64) cost 26 s of interpret time for the
+    # same coverage (still multi-panel at N=32: panels are 16 columns)
+    B, N = 2, 32
 
     def rand_udt(k, decades):
         k1, k2, k3 = jax.random.split(k, 3)
@@ -433,9 +438,9 @@ def test_fused_greens_solve_matches_reference(monkeypatch):
 def test_permute_rows_identity():
     from montecarlo_tpu.ops import linalg
     key = jax.random.PRNGKey(6)
-    A = _graded(key, 3, 32, decades=6)
+    A = _graded(key, 2, 16, decades=6)
     Q, d, R, piv = linalg.udt_dirty(A)
-    T = jax.random.normal(jax.random.PRNGKey(7), (3, 32, 32), jnp.float32)
+    T = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16), jnp.float32)
     lhs = linalg.scatter_columns(R, piv) @ T
     rhs = R @ linalg.permute_rows(T, piv)
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=2e-5)

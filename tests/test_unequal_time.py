@@ -106,11 +106,6 @@ def test_combined_iterator_accuracy_strong_coupling(recalc_mult, tol):
     err = ut.combined_accuracy(ctx, consts, conf, G00,
                                recalculate=recalc_mult * ctx.sm)
     assert float(err) < tol
-    if recalc_mult == 1:
-        # verify_combined re-runs the iterator; exercising the boolean API
-        # once covers it — doing it per-param doubled this test's cost
-        assert ut.verify_combined(ctx, consts, conf, G00, maxerror=tol,
-                                  recalculate=recalc_mult * ctx.sm)
 
 
 @pytest.mark.slow
@@ -159,6 +154,11 @@ def test_combined_iterator_yields_all_M():
     n = ut.combined_greens_apply(ctx, consts, conf, G00,
                                  jnp.zeros((), jnp.int32), step)
     assert int(n) == ctx.M
+    # verify_combined (the boolean accuracy API) re-runs the iterator, so it
+    # is exercised HERE on the cheap beta=1 family instead of inside the
+    # strong-coupling test, where the re-run doubled a 27 s test
+    assert ut.verify_combined(ctx, consts, conf, G00, maxerror=1e-10,
+                              recalculate=ctx.sm)
 
 
 def test_public_greens_kl_api():
