@@ -586,7 +586,8 @@ def fused_udt_ok(N, kind="udt") -> bool:
     if jax.default_backend() == "cpu":
         return True
     key = (N, kind)
-    if key not in _FUSED_UDT_CACHE:
+
+    def compute():
         try:
             if kind == "udt":
                 fn, shapes = _udt_fused_batched, (
@@ -598,10 +599,12 @@ def fused_udt_ok(N, kind="udt") -> bool:
                     jax.ShapeDtypeStruct((128, N, N), jnp.float32),
                     jax.ShapeDtypeStruct((128,), jnp.float32))
             jax.jit(fn).lower(*shapes).compile()
-            _FUSED_UDT_CACHE[key] = True
+            return True
         except Exception:  # pragma: no cover
-            _FUSED_UDT_CACHE[key] = False
-    return _FUSED_UDT_CACHE[key]
+            return False
+
+    from .pallas_util import cached_probe
+    return cached_probe(_FUSED_UDT_CACHE, key, "fused_udt", compute)
 
 
 def _wy_assemble_q(V, tau):
@@ -826,17 +829,19 @@ def _cx_qr_ok(N) -> bool:
         return env not in ("0", "false", "off")
     if jax.default_backend() == "cpu":
         return True  # interpreter mode
-    if N not in _CX_QR_OK_CACHE:
+    def compute():
         try:
             # probe at the PRODUCTION chunk size so the validated Mosaic
             # shape class is the one that actually executes
             jax.jit(_qr_batched_cx).lower(
                 jax.ShapeDtypeStruct((_cx_qr_chunk(N), N, N),
                                      jnp.complex64)).compile()
-            _CX_QR_OK_CACHE[N] = True
+            return True
         except Exception:  # pragma: no cover
-            _CX_QR_OK_CACHE[N] = False
-    return _CX_QR_OK_CACHE[N]
+            return False
+
+    from .pallas_util import cached_probe
+    return cached_probe(_CX_QR_OK_CACHE, N, "cx_qr", compute)
 
 
 def qr_lanes_cx():
@@ -1095,7 +1100,7 @@ def _mxu_qr_ok(N) -> bool:
         return False
     if jax.default_backend() == "cpu":
         return True
-    if N not in _MXU_QR_CACHE:
+    def compute():
         def scanned(A):
             def body(carry, _):
                 Q, R = _qr_batched_mxu(carry)
@@ -1106,10 +1111,12 @@ def _mxu_qr_ok(N) -> bool:
             jax.jit(scanned).lower(
                 jax.ShapeDtypeStruct((_mxu_qr_cbq(N), N, N),
                                      jnp.float32)).compile()
-            _MXU_QR_CACHE[N] = True
+            return True
         except Exception:
-            _MXU_QR_CACHE[N] = False
-    return _MXU_QR_CACHE[N]
+            return False
+
+    from .pallas_util import cached_probe
+    return cached_probe(_MXU_QR_CACHE, N, "mxu_qr", compute)
 
 
 from .pallas_util import pick_lane_block as _pick_chain_block
@@ -1544,7 +1551,7 @@ def df_qr_ok(N) -> bool:
         return False
     if jax.default_backend() in ("cpu", "gpu"):
         return False
-    if N not in _DF_QR_CACHE:
+    def compute():
         try:
             # probe the shape the kernel actually runs at: qr_lanes_df
             # chunks the lane batch BEFORE the pallas_call, so a full-batch
@@ -1555,7 +1562,9 @@ def df_qr_ok(N) -> bool:
             jax.jit(_qr_df_batched).lower(
                 jax.ShapeDtypeStruct((Bp, N, N), jnp.float32),
                 jax.ShapeDtypeStruct((Bp, N, N), jnp.float32)).compile()
-            _DF_QR_CACHE[N] = True
+            return True
         except Exception:  # pragma: no cover
-            _DF_QR_CACHE[N] = False
-    return _DF_QR_CACHE[N]
+            return False
+
+    from .pallas_util import cached_probe
+    return cached_probe(_DF_QR_CACHE, N, "df_qr", compute)

@@ -596,7 +596,8 @@ def _gt_scratch_ok(variant, N, F):
     if jax.default_backend() == "cpu":
         return True  # interpreter mode: swapaxes always available
     key = (variant, N, F)
-    if key not in _GT_SCRATCH_CACHE:
+
+    def compute():
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
                   det_power=2 // F, use_boson=False)
         gdtype = jnp.float32
@@ -616,10 +617,12 @@ def _gt_scratch_ok(variant, N, F):
                 jax.ShapeDtypeStruct((C, N), jnp.float32))
         try:
             jax.jit(fn).lower(*args).compile()
-            _GT_SCRATCH_CACHE[key] = True
+            return True
         except Exception:  # Mosaic rejected the in-kernel transpose
-            _GT_SCRATCH_CACHE[key] = False
-    return _GT_SCRATCH_CACHE[key]
+            return False
+
+    from .pallas_util import cached_probe
+    return cached_probe(_GT_SCRATCH_CACHE, key, "gt_scratch", compute)
 
 
 
@@ -638,7 +641,8 @@ def _colread_ok(N, F):
     if jax.default_backend() == "cpu":
         return True  # interpreter mode
     key = (N, F)
-    if key not in _COLREAD_CACHE:
+
+    def compute():
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
                   det_power=2 // F, use_boson=False)
         C = 128
@@ -646,8 +650,10 @@ def _colread_ok(N, F):
         args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
                 jax.ShapeDtypeStruct((C, N), jnp.int32),
                 jax.ShapeDtypeStruct((C, N), jnp.float32))
-        _COLREAD_CACHE[key] = _probe_compiles(fn, args)
-    return _COLREAD_CACHE[key]
+        return _probe_compiles(fn, args)
+
+    from .pallas_util import cached_probe
+    return cached_probe(_COLREAD_CACHE, key, "colread", compute)
 
 
 def _sites_per_step(N):
@@ -706,10 +712,10 @@ def _sitemajor_cfg(N, F):
             return None
         return (32, True)
     key = (N, F, False, _sites_per_step(N))
-    if key not in _SITEMAJOR_CFG_CACHE:
+
+    def compute():
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
                   det_power=2 // F, use_boson=False)
-        found = None
         for C, scratch in ((64, True), (64, False), (32, True), (32, False),
                            (16, True), (16, False), (8, True), (8, False)):
             fn = functools.partial(_site_sweep_sitemajor, force_cb=C,
@@ -718,10 +724,11 @@ def _sitemajor_cfg(N, F):
                     jax.ShapeDtypeStruct((C, N), jnp.int32),
                     jax.ShapeDtypeStruct((C, N), jnp.float32))
             if _probe_compiles(fn, args):
-                found = (C, scratch)
-                break
-        _SITEMAJOR_CFG_CACHE[key] = found
-    return _SITEMAJOR_CFG_CACHE[key]
+                return (C, scratch)
+        return None
+
+    from .pallas_util import cached_probe
+    return cached_probe(_SITEMAJOR_CFG_CACHE, key, "sitemajor", compute)
 
 
 def _sitemajor_cfg_cx(N, F):
@@ -732,20 +739,21 @@ def _sitemajor_cfg_cx(N, F):
             return None
         return 32
     key = (N, F, True)
-    if key not in _SITEMAJOR_CFG_CACHE:
+
+    def compute():
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
                   det_power=2 // F, use_boson=False)
-        found = None
         for C in (64, 32, 16, 8):
             fn = functools.partial(_site_sweep_sitemajor_cx, force_cb=C, **kw)
             args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.complex64),
                     jax.ShapeDtypeStruct((C, N), jnp.int32),
                     jax.ShapeDtypeStruct((C, N), jnp.float32))
             if _probe_compiles(fn, args):
-                found = C
-                break
-        _SITEMAJOR_CFG_CACHE[key] = found
-    return _SITEMAJOR_CFG_CACHE[key]
+                return C
+        return None
+
+    from .pallas_util import cached_probe
+    return cached_probe(_SITEMAJOR_CFG_CACHE, key, "sitemajor_cx", compute)
 
 
 _WRAP_FUSE_CACHE = {}
@@ -760,7 +768,8 @@ def wrap_fuse_ok(N, F):
     if jax.default_backend() == "cpu":
         return True  # interpreter mode
     key = (N, F)
-    if key not in _WRAP_FUSE_CACHE:
+
+    def compute():
         from .pallas_util import pick_vmem_lane_chunk
         C = pick_vmem_lane_chunk(5 * F * N * N * 4)
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
@@ -771,8 +780,10 @@ def wrap_fuse_ok(N, F):
                 jax.ShapeDtypeStruct((C, N), jnp.float32),
                 jax.ShapeDtypeStruct((N, N), jnp.float32),
                 jax.ShapeDtypeStruct((N, N), jnp.float32))
-        _WRAP_FUSE_CACHE[key] = _probe_compiles(fn, args)
-    return _WRAP_FUSE_CACHE[key]
+        return _probe_compiles(fn, args)
+
+    from .pallas_util import cached_probe
+    return cached_probe(_WRAP_FUSE_CACHE, key, "wrap_fuse", compute)
 
 
 def _sm_delayed_mode():
@@ -790,10 +801,10 @@ def _sitemajor_delayed_cfg(N, F):
     if jax.default_backend() == "cpu":
         return (32, 16, True)
     key = (N, F, "delayed")
-    if key not in _SITEMAJOR_CFG_CACHE:
+
+    def compute():
         kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
                   det_power=2 // F, use_boson=False)
-        found = None
         # DK=64 measured fastest at N=256 (89-97 vs 80-91 cs/s at L=16 for
         # DK=16/32). CB=32 configs compile in a bare sweep but OOM scoped
         # VMEM inside the full DQMC run program (measurement lax.cond
@@ -811,10 +822,12 @@ def _sitemajor_delayed_cfg(N, F):
                     jax.ShapeDtypeStruct((2 * C, N), jnp.int32),
                     jax.ShapeDtypeStruct((2 * C, N), jnp.float32))
             if _probe_compiles(fn, args):
-                found = (C, DK, mxu)
-                break
-        _SITEMAJOR_CFG_CACHE[key] = found
-    return _SITEMAJOR_CFG_CACHE[key]
+                return (C, DK, mxu)
+        return None
+
+    from .pallas_util import cached_probe
+    return cached_probe(_SITEMAJOR_CFG_CACHE, key, "sitemajor_delayed",
+                        compute)
 
 
 def _sitemajor_chunk(N, F):

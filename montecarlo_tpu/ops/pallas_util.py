@@ -10,6 +10,10 @@ scoped-VMEM budget on v5e — larger batches are split into <=256-chain calls.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 import jax.numpy as jnp
 
 LANE_CHUNK = 256
@@ -77,6 +81,100 @@ def map_lane_chunks_seq(fn, *args, step: int = LANE_CHUNK):
             return tuple(o.reshape((-1,) + o.shape[2:]) for o in out)
         return out.reshape((-1,) + out.shape[2:])
     return map_lane_chunks(fn, *args, step=step)
+
+
+# ---------------------------------------------------------------------------
+# cross-process probe-result cache
+# ---------------------------------------------------------------------------
+#
+# The kernel dispatchers pick their configuration (chain block, scratch
+# layout, fallbacks) with AOT compile probes at production shapes, because
+# Mosaic VMEM fit is only visible to the real compiler. Successful compiles
+# land in jax's persistent compilation cache, but FAILED attempts are never
+# cached by XLA — at N=256 a config search can burn minutes of failing
+# Mosaic compiles in every fresh process (measured: the L=16 bench phase
+# cost 471 s against a fully warm XLA cache, almost all of it re-probing).
+# This layer persists the probe RESULTS themselves. Keyed by a namespace
+# hash of (kernel sources, jax version, device platform+kind), so any code
+# or hardware change invalidates the file wholesale; the value side holds
+# bools / config tuples / None.
+
+_PROBE_NS = None
+
+
+def _probe_ns() -> str:
+    global _PROBE_NS
+    if _PROBE_NS is None:
+        import jax
+        h = hashlib.sha256()
+        here = os.path.dirname(os.path.abspath(__file__))
+        for fname in ("pallas_util.py", "pallas_qr.py",
+                      "pallas_site_sweep.py"):
+            try:
+                with open(os.path.join(here, fname), "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                h.update(fname.encode())
+        h.update(jax.__version__.encode())
+        try:
+            dev = jax.devices()[0]
+            h.update(f"{dev.platform}:{dev.device_kind}".encode())
+        except Exception:
+            h.update(b"nodev")
+        _PROBE_NS = h.hexdigest()[:16]
+    return _PROBE_NS
+
+
+def _probe_path():
+    """Disk location for probe results, or None to stay in-process-only.
+    Defaults alongside jax's persistent compilation cache (the probes are
+    only worth persisting when the compiles themselves are); override the
+    directory with MC_TPU_PROBE_CACHE_DIR, disable with ''. """
+    import jax
+    try:
+        d = jax.config.jax_compilation_cache_dir
+    except Exception:  # pragma: no cover - config attr always exists today
+        d = None
+    d = os.environ.get("MC_TPU_PROBE_CACHE_DIR", d or "")
+    if not d:
+        return None
+    return os.path.join(d, f"mc_tpu_probes_{_probe_ns()}.json")
+
+
+def cached_probe(mem_cache: dict, key, tag: str, compute):
+    """Two-level probe memo: the per-process dict, then the disk file.
+    `compute()` runs only when both miss; its result (bool, tuple, or None)
+    is stored in both. Disk IO failures fall back to compute — the cache
+    can only ever save time, never change behavior."""
+    if key in mem_cache:
+        return mem_cache[key]
+    path = _probe_path()
+    skey = f"{tag}:{key!r}"
+    data = {}
+    if path:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+        if skey in data:
+            val = data[skey]
+            val = tuple(val) if isinstance(val, list) else val
+            mem_cache[key] = val
+            return val
+    val = compute()
+    mem_cache[key] = val
+    if path:
+        try:
+            data[skey] = list(val) if isinstance(val, tuple) else val
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(data, f, sort_keys=True)
+            os.replace(tmp, path)
+        except Exception:  # pragma: no cover - permissions/readonly fs
+            pass
+    return val
 
 
 def map_lane_chunks(fn, *args, step: int = LANE_CHUNK):

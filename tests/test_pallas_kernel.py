@@ -434,3 +434,55 @@ def test_fuse_wrap_end_to_end_half_filling(monkeypatch):
     d.run(verbose=False)
     occ = float(np.mean(np.asarray(d.observables()["occ"]["occ"].mean)))
     assert abs(occ - 0.5) < 0.05
+
+
+def test_cached_probe_disk_roundtrip(tmp_path, monkeypatch):
+    """cached_probe persists probe results across 'processes' (fresh memo
+    dicts): the compute callable runs exactly once per (tag, key) while the
+    disk file exists, values survive JSON round-trips with types intact
+    (bool, config tuple, None), and a namespace change (different source
+    hash) invalidates without error."""
+    from montecarlo_tpu.ops import pallas_util as pu
+    monkeypatch.setenv("MC_TPU_PROBE_CACHE_DIR", str(tmp_path))
+    calls = {"n": 0}
+
+    def compute_tuple():
+        calls["n"] += 1
+        return (16, True)
+
+    m1 = {}
+    assert pu.cached_probe(m1, (256, 1), "cfg", compute_tuple) == (16, True)
+    # fresh memo = new process: served from disk, compute NOT re-run
+    m2 = {}
+    assert pu.cached_probe(m2, (256, 1), "cfg", compute_tuple) == (16, True)
+    assert calls["n"] == 1
+    assert isinstance(m2[(256, 1)], tuple)
+    # bool and None values round-trip with their types
+    assert pu.cached_probe({}, (64,), "ok", lambda: True) is True
+    assert pu.cached_probe({}, (64,), "ok", lambda: None) is True  # cached
+    assert pu.cached_probe({}, (8,), "none", lambda: None) is None
+    assert pu.cached_probe({}, (8,), "none", lambda: (1,)) is None  # cached
+    # namespace bump (source change) = miss, recompute, no crash
+    monkeypatch.setattr(pu, "_PROBE_NS", "deadbeefdeadbeef")
+    m3 = {}
+    assert pu.cached_probe(m3, (256, 1), "cfg", compute_tuple) == (16, True)
+    assert calls["n"] == 2
+
+
+def test_cached_probe_no_dir_is_process_local(monkeypatch):
+    """With persistence disabled (empty dir), cached_probe degrades to the
+    plain per-process memo."""
+    from montecarlo_tpu.ops import pallas_util as pu
+    monkeypatch.setenv("MC_TPU_PROBE_CACHE_DIR", "")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return False
+
+    m = {}
+    assert pu.cached_probe(m, (1,), "t", compute) is False
+    assert pu.cached_probe(m, (1,), "t", compute) is False
+    assert calls["n"] == 1
+    assert pu.cached_probe({}, (1,), "t", compute) is False  # new process
+    assert calls["n"] == 2
