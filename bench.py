@@ -19,6 +19,15 @@ SIGTERM handler that emits the partial record immediately if the driver's
 timeout fires anyway. Per-phase wall times land in "phase_s" so any future
 slowdown is diagnosable from the artifact alone.
 
+CACHE-LOAD REALITY (measured r5, 2026-08-20): a persistent-cache HIT is
+NOT free on the tunneled axon backend — executable load scales with
+program size. N=64 programs (~3-11 MB entries) load in ~2-5 s, but the
+N=256 (L=16) sweep/init programs are 32/119 MB and load in ~200-380 s,
+and the L=16 gate's session programs cost ~500-870 s warm. That is why
+the L=16 phases carry est_warm in the hundreds and gate_l16 runs dead
+last behind a disk-cached-result fallback: a "warm" run is fast only for
+the N=64 operating points.
+
 Sanity: `sanity_ok` is a CALIBRATED per-mode criterion (VERDICT r1 task 2),
 not an acceptance band. For f32 modes it is an on-device matched-seed
 cross-safe_mult validation (montecarlo_tpu.validation.cross_sm_check), pooled
@@ -49,11 +58,16 @@ import time
 from functools import partial
 
 T0 = time.time()
-# 1450 s: the driver's kill is NOT a fixed 3550 s — round 4's arrived at
-# elapsed 1798.2 s (BENCH_r04.json, mid-l16-phase, rc=124). 1450 leaves
-# ~6 min of headroom under the tightest observed kill while still fitting
-# every phase warm (~19 min measured budget after the r5 trims).
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1450"))
+# 1680 s: the driver's kill is NOT a fixed 3550 s — round 4's arrived at
+# elapsed 1798.2 s (BENCH_r04.json, mid-l16-phase, rc=124). 1680 leaves
+# ~2 min of emit headroom under the tightest observed kill. The budget is
+# spent against MEASURED r5 phase walls (see phase est/est_warm below;
+# full-suite probe run 2026-08-20: 2686 s with a cold headline, all gates
+# PASS): everything except gate_l16 fits warm in ~1300 s; gate_l16 (868 s
+# measured) runs LAST and only if the budget still covers it, else the
+# most recent on-device result is attached from a disk cache with explicit
+# "cached" provenance (see _gate_l16_cache_path).
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1680"))
 RESERVE_S = 20.0  # emit + teardown slack held back from every phase decision
 
 
@@ -382,6 +396,46 @@ def _gate_fields(g):
                               "candidate", "anchor") if k in g}
 
 
+def _gate_l16_cache_path():
+    """Disk slot for the last COMPLETED on-device gate_l16 result. Next to
+    the XLA cache so wiping one wipes both; the stored dict carries its own
+    provenance ("derived_at" wall-clock date + "derived_elapsed_s") and is
+    attached to the record with "cached": true when the live gate does not
+    fit the driver budget — never silently passed off as a live run."""
+    if not _cache_dir:
+        return None
+    return os.path.join(_cache_dir, "gates", "gate_l16.json")
+
+
+def _gate_l16_cache_write(fields):
+    path = _gate_l16_cache_path()
+    if not path:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rec = dict(fields)
+        rec["derived_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        rec["derived_elapsed_s"] = round(PHASE_S.get("gate_l16", -1.0), 1)
+        with open(path, "w") as f:
+            json.dump(rec, f)
+    except Exception as err:  # pragma: no cover - disk full/readonly
+        _progress(f"gate_l16 cache write failed: {err!r}")
+
+
+def _gate_l16_cache_read():
+    path = _gate_l16_cache_path()
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        rec["cached"] = True
+        return rec
+    except Exception as err:  # pragma: no cover
+        _progress(f"gate_l16 cache read failed: {err!r}")
+        return None
+
+
 def _backend_watchdog():
     """The tunneled TPU backend blocks INDEFINITELY in init while the device
     pool is unavailable (observed: >2 h during round 3). Rather than hang the
@@ -419,13 +473,16 @@ def _backend_watchdog():
 def main():
     _backend_watchdog()
 
-    # PHASE ORDER (VERDICT r4 tasks 1+3): headline + its gate first (they
-    # ARE the metric), then the cheap throughput rows (sm1 / repulsive /
-    # chains512 / ising, ~2 min warm total) so no cold compile can starve
-    # them, then g_refresh, then the L=16 operating point in a GUARANTEED
-    # mid-budget slot (its gate never landed in a driver artifact when run
-    # last — r3 skipped it, r4 died inside it), and only then the three
-    # remaining expensive pins (susceptibility, complex, f64).
+    # PHASE ORDER (VERDICT r4 tasks 1+3, re-planned on r5 measured walls):
+    # headline + its gate first (they ARE the metric), then the cheap
+    # throughput rows (sm1 / repulsive / chains512 / ising, ~2 min warm
+    # total) so no cold compile can starve them, then g_refresh + gate,
+    # then the L=16 throughput point in a GUARANTEED mid-budget slot
+    # (its big-program loads cost ~380 s even warm — see CACHE-LOAD
+    # REALITY), then the three cheaper pins (susceptibility, complex,
+    # f64), and LAST the 868 s gate_l16, which runs live only if the
+    # budget still covers it and otherwise attaches its most recent
+    # on-device result from disk with explicit "cached" provenance.
 
     # ---- 1. headline (required: this IS the metric) --------------------
     head = phase("headline", 700, bench_dqmc, required=True)
@@ -463,10 +520,10 @@ def main():
             from montecarlo_tpu.validation import cross_sm_check
             return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
                                   safe_mult=SAFE_MULT, use_pallas=USE_PALLAS)
-        # cold est 500: the sm=1 anchor is disk-cached (r4 derived it), so
-        # cold means candidate-pool compiles only (r4 measured 260 s with a
-        # COLD anchor; anchor-cached cold is bounded by the candidate side)
-        g = phase("gate_headline", 500, _headline_gate, est_warm=150)
+        # cold est 300: the sm=1 anchor is disk-cached (r4 derived it), so
+        # cold means candidate-pool compiles only (r5 probe measured 95 s
+        # anchor-cached; r4 measured 260 s with a COLD anchor)
+        g = phase("gate_headline", 300, _headline_gate, est_warm=110)
         if isinstance(g, dict) and "ok" in g:
             anchor_pool = g.pop("_anchor_pool", None)
             RESULT["cross_sm_validation"] = _gate_fields(g)
@@ -481,7 +538,7 @@ def main():
                 lambda: round(bench_dqmc(safe_mult=1, sweeps=2)[0], 3),
                 enabled=(SAFE_MULT != 1
                          and os.environ.get("BENCH_SM1", "1") == "1"),
-                est_warm=20)
+                est_warm=30)
     RESULT["sm1_sweeps_per_s"] = sm1 if not isinstance(sm1, dict) else sm1
 
     # ---- 4. repulsive (F=2) model row (VERDICT r4 task 5) ---------------
@@ -494,7 +551,7 @@ def main():
                 "drift_max": d["max"], "acceptance": round(a, 4)}
     rep = phase("repulsive", 250, _repulsive,
                 enabled=os.environ.get("BENCH_REPULSIVE", "1") == "1",
-                est_warm=40)
+                est_warm=35)
     RESULT["repulsive_mode"] = rep
 
     # ---- 5. chain-scaling point (512-chain saturation, VERDICT r3 #7) ---
@@ -505,7 +562,7 @@ def main():
     RESULT["chains512_sweeps_per_s"] = c512
 
     # ---- 6. Ising secondary metric --------------------------------------
-    ising = phase("ising", 120, bench_ising, est_warm=40)
+    ising = phase("ising", 120, bench_ising, est_warm=15)
     RESULT["ising_spin_flips_per_s"] = (round(ising) if isinstance(
         ising, (int, float)) else ising)
 
@@ -530,7 +587,7 @@ def main():
                                   safe_mult=REFRESH_SM, g_refresh=True,
                                   use_pallas=USE_PALLAS,
                                   anchor_pool=anchor_pool)
-        g = phase("gate_g_refresh", 250, _refresh_gate, est_warm=130)
+        g = phase("gate_g_refresh", 250, _refresh_gate, est_warm=125)
         if isinstance(g, dict) and "ok" in g:
             g.pop("_anchor_pool", None)
             refresh_mode["cross_sm_validation"] = _gate_fields(g)
@@ -541,48 +598,23 @@ def main():
             refresh_mode["cross_sm_validation"] = g
     RESULT["conservative_mode"] = refresh_mode
 
-    # ---- 8. L=16 (N=256) operating point + its own cross-sm gate --------
-    # Guaranteed mid-budget slot (VERDICT r4 task 3). Gate protocol: same
-    # kernels as shipped (site-major delayed + MXU QR) at the shipped
-    # safe_mult vs the sm=1 anchor with the same kernels, at beta=2 (same
-    # 10-slice stabilization windows as the headline; full beta=10 at
-    # sm=1/N=256 costs ~hours and lives in VALIDATION.md instead). The
-    # anchor pool is disk-cached (derived on-device r5).
+    # ---- 8. L=16 (N=256) operating point -------------------------------
+    # Guaranteed mid-budget slot (VERDICT r4 task 3). Its cross-sm gate is
+    # phase 12 (dead last — 868 s measured r5, see CACHE-LOAD REALITY).
     l16_mode = None
     if L < 16 and os.environ.get("BENCH_L16", "1") == "1":
         def _l16():
             sps, _, d, a = bench_dqmc(sweeps=2, lattice_L=16, chains=64)
             return {"chains": 64, "chain_sweeps_per_s": round(sps, 3),
                     "drift_max": d["max"], "acceptance": round(a, 4)}
-        l16_mode = phase("l16", 700, _l16, est_warm=100)
-        RESULT["l16_mode"] = l16_mode  # write-through (see conservative_mode)
-        if (isinstance(l16_mode, dict) and "error" not in l16_mode
-                and VALIDATE and DTYPE != "float64"
-                and os.environ.get("BENCH_L16_GATE", "1") == "1"):
-            def _l16_gate():
-                from montecarlo_tpu.validation import (EQUAL_TIME_OBSERVABLES,
-                                                       cross_sm_check)
-                return cross_sm_check(
-                    L=16, beta=float(os.environ.get("BENCH_L16_GATE_BETA",
-                                                    "2.0")),
-                    dtype=DTYPE, safe_mult=SAFE_MULT, use_pallas=USE_PALLAS,
-                    n_chains=32, sweeps=200, thermalization=60,
-                    observables=EQUAL_TIME_OBSERVABLES)
-            g = phase("gate_l16", 600, _l16_gate, est_warm=260)
-            if isinstance(g, dict) and "ok" in g:
-                g.pop("_anchor_pool", None)
-                l16_mode["cross_sm_validation"] = _gate_fields(g)
-                l16_mode["cross_sm_validation"]["beta"] = float(
-                    os.environ.get("BENCH_L16_GATE_BETA", "2.0"))
-            elif g is not None:
-                l16_mode["cross_sm_validation"] = g
-    RESULT["l16_mode"] = l16_mode
+        l16_mode = phase("l16", 700, _l16, est_warm=430)
+    RESULT["l16_mode"] = l16_mode  # write-through (see conservative_mode)
 
     # ---- 9. susceptibility set cost -------------------------------------
     susc = phase("susceptibility", 150,
                  lambda: round(bench_susceptibility(), 4),
                  enabled=os.environ.get("BENCH_SUSC", "1") == "1",
-                 est_warm=110)
+                 est_warm=85)
     RESULT["susceptibility_s_per_measured_sweep"] = susc
 
     # ---- 10. complex (Peierls) mode + its own cross-sm gate --------------
@@ -596,7 +628,7 @@ def main():
             return run_complex_bench(chains=N_CHAINS, L=L, beta=BETA,
                                      sweeps=2, safe_mult=CPLX_SM,
                                      use_pallas=USE_PALLAS)
-        cplx_mode = phase("complex", 200, _cplx, est_warm=50)
+        cplx_mode = phase("complex", 200, _cplx, est_warm=75)
         RESULT["complex_mode"] = cplx_mode  # write-through
         if (isinstance(cplx_mode, dict) and "error" not in cplx_mode
                 and VALIDATE
@@ -619,7 +651,7 @@ def main():
                                       use_pallas=USE_PALLAS, peierls=theta,
                                       cand_seeds=(123,), cand_sweeps=150,
                                       cand_thermalization=50)
-            g = phase("gate_complex", 400, _cplx_gate, est_warm=150)
+            g = phase("gate_complex", 400, _cplx_gate, est_warm=170)
             if isinstance(g, dict) and "ok" in g:
                 g.pop("_anchor_pool", None)
                 cplx_mode["cross_sm_validation"] = _gate_fields(g)
@@ -629,23 +661,64 @@ def main():
 
     # ---- 11. strict-f64 validation mode (pinned every round) -------------
     # 128 chains (VERDICT r4 task 1c): the f64 mode is a numerics pin, not a
-    # throughput headline — halving the batch halves its 245 s r4 wall. The
-    # recorded sweeps/s is normalized per chain either way; the regression
-    # bound below is re-based accordingly (f64 throughput is linear in the
-    # batch at this size: the VPU-bound emulated-f64 work dominates).
+    # throughput headline — halving the batch halves its 245 s r4 wall.
+    # MEASURED r5: chain-sweeps/s is batch-INDEPENDENT at these sizes
+    # (76.67 cs/s at 128 chains vs r4's 76.6 at 256 — the serialized
+    # emulated-f64 op chain, not VPU throughput, is the wall), so the raw
+    # cs/s compares directly against the 256-chain bound with no
+    # normalization.
     f64_mode = None
     if DTYPE != "float64" and os.environ.get("BENCH_F64", "1") == "1":
         def _f64():
             sps, _, d, _ = bench_dqmc(dtype="float64", sweeps=1, chains=128)
-            sps_norm = sps * (N_CHAINS / 128)  # per-256-chain equivalent
             return {"sweeps_per_s": round(sps, 3), "chains": 128,
-                    "sweeps_per_s_256chain_equiv": round(sps_norm, 3),
                     "drift_max": d["max"],
                     "bound_sweeps_per_s": F64_BOUND_SWEEPS_PER_S,
                     "regression_ok": bool(
-                        sps_norm >= 0.7 * F64_BOUND_SWEEPS_PER_S)}
-        f64_mode = phase("f64", 200, _f64, est_warm=60)
+                        sps >= 0.7 * F64_BOUND_SWEEPS_PER_S)}
+        f64_mode = phase("f64", 250, _f64, est_warm=220)
     RESULT["f64_mode"] = f64_mode
+
+    # ---- 12. L=16 cross-sm gate: LAST, with cached-result fallback -------
+    # Gate protocol: same kernels as shipped (site-major delayed + MXU QR)
+    # at the shipped safe_mult vs the sm=1 anchor with the same kernels, at
+    # beta=2 (same 10-slice stabilization windows as the headline; full
+    # beta=10 at sm=1/N=256 costs ~hours and lives in VALIDATION.md). The
+    # anchor pool is disk-cached (derived on-device r5); the candidate's
+    # N=256 session programs still cost ~500-870 s to compile OR load (see
+    # CACHE-LOAD REALITY), which does not fit the driver budget alongside
+    # the full suite. So: run live when the remaining budget covers the
+    # measured wall; otherwise attach the most recent completed on-device
+    # result from disk, marked {"cached": true, "derived_at": ...} — the
+    # throughput row above is always live, only the statistical gate falls
+    # back, and its provenance is explicit in the record.
+    if (isinstance(l16_mode, dict) and "error" not in l16_mode
+            and VALIDATE and DTYPE != "float64"
+            and os.environ.get("BENCH_L16_GATE", "1") == "1"):
+        gate_beta = float(os.environ.get("BENCH_L16_GATE_BETA", "2.0"))
+
+        def _l16_gate():
+            from montecarlo_tpu.validation import (EQUAL_TIME_OBSERVABLES,
+                                                   cross_sm_check)
+            return cross_sm_check(
+                L=16, beta=gate_beta,
+                dtype=DTYPE, safe_mult=SAFE_MULT, use_pallas=USE_PALLAS,
+                n_chains=32, sweeps=200, thermalization=60,
+                observables=EQUAL_TIME_OBSERVABLES)
+        g = phase("gate_l16", 950, _l16_gate, est_warm=620)
+        if isinstance(g, dict) and "ok" in g:
+            g.pop("_anchor_pool", None)
+            fields = _gate_fields(g)
+            fields["beta"] = gate_beta
+            l16_mode["cross_sm_validation"] = fields
+            _gate_l16_cache_write(fields)
+        elif g is not None:
+            l16_mode["cross_sm_validation"] = g
+        else:  # skipped for budget — fall back to the cached result
+            cached = _gate_l16_cache_read()
+            if cached is not None:
+                l16_mode["cross_sm_validation"] = cached
+    RESULT["l16_mode"] = l16_mode
 
     _emit()
 
