@@ -338,6 +338,115 @@ def _batched_kernel(lamb, signs, det_power, use_boson, N, F, CB, gt_scratch,
                     ev_r, evinv_c, None, None, N)
 
 
+def _batched_kernel_pair(lamb, signs, det_power, use_boson, N, F, CB,
+                         u_ref, s_in, G_in, sigma_ref, G_ref, acc_ref,
+                         nneg_ref):
+    """Delay-2 variant of the col_read chain-on-lanes kernel: one grid step
+    = TWO consecutive sites (grid = (n_cb, N // 2)).
+
+    The sequential dependency between site i and site j = i+1 runs only
+    through site j's row/column/diagonal of G, so site j's decision
+    quantities are corrected EXACTLY from site i's rank-1 terms with O(N)
+    vector ops (the in-kernel form of the delayed/submatrix update,
+    reference accept_local! rank-1 algebra:
+    /root/reference/src/models/HubbardModel/HubbardModelAttractive.jl:129-155):
+
+        row'_j = row_j − xIG_i[j]·row_i          (1,N,CB)
+        col'_j = col_j − xIG_i·row_i[j]          (N,1,CB)
+
+    and both rank-1 updates then land in ONE read-modify-write pass over
+    the (N,N,CB) block instead of two:
+
+        G ← G − xIG_i⊗row_i − xIG_j⊗row'_j
+
+    — halving the kernel's dominant full-block traffic. A rejected site i
+    has x_i = 0, so the corrections vanish and site j sees the unmodified
+    quantities. The Markov decisions are arithmetically those of the
+    sequential kernel (same expressions; fusion-level rounding ~1e-7 may
+    differ, same caveat as sites_per_step)."""
+    t = pl.program_id(1)
+    i = 2 * t
+
+    @pl.when(t == 0)
+    def _init():
+        sigma_ref[...] = s_in[...]
+        G_ref[...] = G_in[...]
+
+    r_lane = lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    r_sub = lax.broadcasted_iota(jnp.int32, (N, 1, 1), 0)
+
+    def decide(idx, rows, cols, giis):
+        """Metropolis decision at site idx from supplied per-flavor
+        row/col/gii (the exact post-previous-updates values). Returns
+        (accept, detratio, xIGs, s)."""
+        s = sigma_ref[pl.ds(idx, 1)]                          # (1,1,CB)
+        u_i = u_ref[pl.ds(idx, 1)]
+        dEb = jnp.float32(-2.0 * lamb) * s
+        deltas, rs = [], []
+        rprod = None
+        for f, sg in enumerate(signs):
+            delta = jnp.exp(jnp.float32(sg) * dEb) - 1.0
+            r = 1.0 + delta * (1.0 - giis[f])
+            deltas.append(delta)
+            rs.append(r)
+            rprod = r if rprod is None else rprod * r
+        detratio = rprod ** det_power
+        w = jnp.exp(-dEb) if use_boson else jnp.float32(1.0)
+        accept = u_i < w * detratio
+        onehot_o = jnp.where(r_sub == idx, jnp.float32(1.0),
+                             jnp.float32(0.0))                # (N,1,1)
+        xIGs = []
+        for f in range(F):
+            x = jnp.where(accept, deltas[f] / rs[f], jnp.zeros_like(rs[f]))
+            xIGs.append(x * (onehot_o - cols[f]))             # (N,1,CB)
+        return accept, detratio, xIGs, s
+
+    def record(idx, accept, detratio, s):
+        flip = jnp.where(accept, jnp.float32(-1.0), jnp.float32(1.0))
+        sigma_ref[pl.ds(idx, 1)] = s * flip
+        one = jnp.ones_like(s)
+        zero = jnp.zeros_like(s)
+        acc_ref[pl.ds(idx, 1)] = jnp.where(accept, one, zero)
+        nneg_ref[pl.ds(idx, 1)] = jnp.where(detratio < 0, one, zero)
+
+    # ---- site i: reads of the current G --------------------------------
+    onehot_i = jnp.where(r_lane == i, jnp.float32(1.0), jnp.float32(0.0))
+    rows_i, cols_i, giis_i = [], [], []
+    for f in range(F):
+        row = G_ref[f, pl.ds(i, 1)]                           # (1,N,CB)
+        col = G_ref[f, :, pl.ds(i, 1), :]                     # (N,1,CB)
+        rows_i.append(row)
+        cols_i.append(col)
+        giis_i.append(jnp.sum(row * onehot_i, axis=1, keepdims=True))
+    acc_i, det_i, xIG_i, s_i = decide(i, rows_i, cols_i, giis_i)
+    record(i, acc_i, det_i, s_i)
+
+    # ---- site j = i+1: pre-update reads + exact rank-1 corrections ------
+    j = i + 1
+    onehot_j = jnp.where(r_lane == j, jnp.float32(1.0), jnp.float32(0.0))
+    rows_j, cols_j, giis_j = [], [], []
+    onehot_jo = jnp.where(r_sub == j, jnp.float32(1.0), jnp.float32(0.0))
+    for f in range(F):
+        row0 = G_ref[f, pl.ds(j, 1)]                          # (1,N,CB)
+        col0 = G_ref[f, :, pl.ds(j, 1), :]                    # (N,1,CB)
+        # element j of the correction vectors, via masked reduces (xIG/row
+        # are values, not refs — no pl.ds)
+        a = jnp.sum(xIG_i[f] * onehot_jo, axis=0, keepdims=True)  # (1,1,CB)
+        b = jnp.sum(rows_i[f] * onehot_j, axis=1, keepdims=True)  # (1,1,CB)
+        row = row0 - a * rows_i[f]
+        col = col0 - xIG_i[f] * b
+        rows_j.append(row)
+        cols_j.append(col)
+        giis_j.append(jnp.sum(row * onehot_j, axis=1, keepdims=True))
+    acc_j, det_j, xIG_j, s_j = decide(j, rows_j, cols_j, giis_j)
+    record(j, acc_j, det_j, s_j)
+
+    # ---- combined rank-2 update: one RMW pass over each flavor block ----
+    for f in range(F):
+        G_ref[f] = (G_ref[f] - xIG_i[f] * rows_i[f]
+                    - xIG_j[f] * rows_j[f])
+
+
 from .pallas_util import pick_lane_block as _pick_chain_block
 
 
@@ -654,6 +763,44 @@ def _colread_ok(N, F):
 
     from .pallas_util import cached_probe
     return cached_probe(_COLREAD_CACHE, key, "colread", compute)
+
+
+_PAIR_CACHE = {}
+
+
+def _pair_ok(N, F):
+    """Cached compile probe for the delay-2 (paired-site) col_read kernel
+    (_batched_kernel_pair). Default ON only for F >= 2: measured on v5e
+    (benchmarks/site_pair_ab.py, 8x8 beta=10, 256 chains) the combined
+    rank-2 pass wins +4.6% at F=2 (repulsive 2393 -> 2502 cs/s) where the
+    doubled per-site block work amortizes the shared decision chain, but
+    LOSES at F=1 (headline 5198 -> 4911, sm=1 921 -> 911, g_refresh
+    1393 -> 1361): the VMEM-resident rank-1 update is VPU-FLOP-bound, and
+    pairing adds correction work without removing FLOPs. Override with
+    MC_TPU_SITE_PAIR=0/1."""
+    import os
+    env = os.environ.get("MC_TPU_SITE_PAIR")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    if N % 2 or F < 2:
+        return False
+    if jax.default_backend() == "cpu":
+        return True  # interpreter mode
+    key = (N, F)
+
+    def compute():
+        kw = dict(lamb=0.5, signs=(1.0,) * F if F == 1 else (1.0, -1.0),
+                  det_power=2 // F, use_boson=False)
+        C = 128
+        fn = functools.partial(_site_sweep_batched, _force_colread=True,
+                               _force_pair=True, **kw)
+        args = (jax.ShapeDtypeStruct((C, F, N, N), jnp.float32),
+                jax.ShapeDtypeStruct((C, N), jnp.int32),
+                jax.ShapeDtypeStruct((C, N), jnp.float32))
+        return _probe_compiles(fn, args)
+
+    from .pallas_util import cached_probe
+    return cached_probe(_PAIR_CACHE, key, "site_pair", compute)
 
 
 def _sites_per_step(N):
@@ -992,7 +1139,7 @@ def _site_sweep_sitemajor(G, sigma, u, *, lamb, signs, det_power, use_boson,
 
 def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
                         det_power, use_boson, _force_scratch=None,
-                        wrap_dir=0, _force_colread=None):
+                        wrap_dir=0, _force_colread=None, _force_pair=None):
     """Batched fused sweep. G: (C,F,N,N) f32, sigma: (C,N), u: (C,N).
     Returns (G, sigma, acc (C,), nneg (C,)). Dispatches to the chain-on-lanes
     kernel for N <= 128 and the site-major kernel beyond.
@@ -1033,10 +1180,22 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
     S = max(1, int(os.environ.get("MC_TPU_SITES_PER_STEP", "1")))
     while S > 1 and N % S:
         S -= 1
-    kern = functools.partial(_batched_kernel, float(lamb), tuple(signs),
-                             int(det_power), bool(use_boson), N, F, CB,
-                             scratch, sites_per_step=S, wrap_dir=int(wrap_dir),
-                             col_read=col_read)
+    if _force_pair is not None:
+        pair = bool(_force_pair) and col_read and S == 1 and N % 2 == 0
+    else:
+        pair = (col_read and S == 1 and N % 2 == 0 and not wrap_dir
+                and _pair_ok(N, F))
+    if pair:
+        kern = functools.partial(_batched_kernel_pair, float(lamb),
+                                 tuple(signs), int(det_power),
+                                 bool(use_boson), N, F, CB)
+        grid_sites = N // 2
+    else:
+        kern = functools.partial(_batched_kernel, float(lamb), tuple(signs),
+                                 int(det_power), bool(use_boson), N, F, CB,
+                                 scratch, sites_per_step=S,
+                                 wrap_dir=int(wrap_dir), col_read=col_read)
+        grid_sites = N // S
     interpret = jax.default_backend() == "cpu"
     Gk = jnp.transpose(G, (1, 2, 3, 0))                       # (F,N,N,C)
     sig = jnp.transpose(sigma.astype(jnp.float32), (1, 0))[:, None, :]
@@ -1071,7 +1230,7 @@ def _site_sweep_batched(G, sigma, u, Ml=None, MrT=None, *, lamb, signs,
     outs = pl.pallas_call(
         kern,
         interpret=interpret,
-        grid=(C // CB, N // S),
+        grid=(C // CB, grid_sites),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

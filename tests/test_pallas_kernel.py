@@ -232,6 +232,30 @@ def test_colread_matches_gt_modes(F, signs, det_power, use_boson):
         assert jnp.array_equal(x, y)
 
 
+@pytest.mark.parametrize("F,signs,det_power,use_boson",
+                         [(1, (1.0,), 2, True), (2, (1.0, -1.0), 1, False)])
+def test_site_pair_matches_sequential(F, signs, det_power, use_boson):
+    """The delay-2 (paired-site) col_read kernel — site i+1's decision
+    quantities corrected exactly from site i's rank-1 terms, both updates
+    applied in one pass — must be bit-identical to the sequential col_read
+    kernel: the corrected row'/col'/gii' are the same expressions the
+    sequential kernel evaluates after its site-i update."""
+    key = jax.random.PRNGKey(13)
+    C, N = 4, 16
+    kG, ks, ku = jax.random.split(key, 3)
+    G = (jax.random.normal(kG, (C, F, N, N), jnp.float32) * 0.3
+         + 0.25 * jnp.eye(N, dtype=jnp.float32))
+    sigma = jnp.where(jax.random.bernoulli(ks, 0.5, (C, N)), 1, -1)
+    u = jax.random.uniform(ku, (C, N), jnp.float32)
+    kw = dict(lamb=0.4, signs=signs, det_power=det_power, use_boson=use_boson)
+    a = pss._site_sweep_batched(G, sigma, u, _force_colread=True,
+                                _force_pair=False, **kw)
+    b = pss._site_sweep_batched(G, sigma, u, _force_colread=True,
+                                _force_pair=True, **kw)
+    for x, y in zip(a, b):
+        assert jnp.array_equal(x, y)
+
+
 @pytest.mark.slow
 def test_pallas_dqmc_end_to_end():
     """Full DQMC run with use_pallas must match the plain f32 run exactly in
