@@ -34,6 +34,7 @@ if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     for N, F in ((64, 1), (64, 2), (256, 1)):
         probe(f"colread N={N} F={F}", ps._colread_ok, N, F)
+        probe(f"site_pair N={N} F={F}", ps._pair_ok, N, F)
         probe(f"gt_scratch batched N={N} F={F}",
               ps._gt_scratch_ok, "batched", N, F)
         probe(f"sitemajor N={N} F={F}", ps._sitemajor_cfg, N, F)

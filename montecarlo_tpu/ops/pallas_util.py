@@ -166,6 +166,16 @@ def cached_probe(mem_cache: dict, key, tag: str, compute):
     mem_cache[key] = val
     if path:
         try:
+            # RE-READ before writing: compute() may itself have probed (a
+            # dispatcher probe can trigger nested probes) and written this
+            # file — writing the dict loaded at entry would clobber those
+            # entries (observed: the colread probe's nested site_pair
+            # result vanished from every run's probe file).
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except Exception:
+                data = {}
             data[skey] = list(val) if isinstance(val, tuple) else val
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = f"{path}.tmp.{os.getpid()}"
