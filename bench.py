@@ -398,34 +398,35 @@ def _gate_fields(g):
                               "candidate", "anchor") if k in g}
 
 
-def _gate_l16_cache_path():
-    """Disk slot for the last COMPLETED on-device gate_l16 result. Next to
-    the XLA cache so wiping one wipes both; the stored dict carries its own
-    provenance ("derived_at" wall-clock date + "derived_elapsed_s") and is
-    attached to the record with "cached": true when the live gate does not
-    fit the driver budget — never silently passed off as a live run."""
+def _gate_cache_path(name):
+    """Disk slot for the last COMPLETED on-device result of a statistical
+    gate phase. Next to the XLA cache so wiping one wipes both; the stored
+    dict carries its own provenance ("derived_at" wall-clock date +
+    "derived_elapsed_s") and is attached to the record with "cached": true
+    when the live gate does not fit the driver budget — never silently
+    passed off as a live run."""
     if not _cache_dir:
         return None
-    return os.path.join(_cache_dir, "gates", "gate_l16.json")
+    return os.path.join(_cache_dir, "gates", f"{name}.json")
 
 
-def _gate_l16_cache_write(fields):
-    path = _gate_l16_cache_path()
+def _gate_cache_write(name, fields):
+    path = _gate_cache_path(name)
     if not path:
         return
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         rec = dict(fields)
         rec["derived_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-        rec["derived_elapsed_s"] = round(PHASE_S.get("gate_l16", -1.0), 1)
+        rec["derived_elapsed_s"] = round(PHASE_S.get(name, -1.0), 1)
         with open(path, "w") as f:
             json.dump(rec, f)
     except Exception as err:  # pragma: no cover - disk full/readonly
-        _progress(f"gate_l16 cache write failed: {err!r}")
+        _progress(f"{name} cache write failed: {err!r}")
 
 
-def _gate_l16_cache_read():
-    path = _gate_l16_cache_path()
+def _gate_cache_read(name):
+    path = _gate_cache_path(name)
     if not path or not os.path.exists(path):
         return None
     try:
@@ -434,8 +435,23 @@ def _gate_l16_cache_read():
         rec["cached"] = True
         return rec
     except Exception as err:  # pragma: no cover
-        _progress(f"gate_l16 cache read failed: {err!r}")
+        _progress(f"{name} cache read failed: {err!r}")
         return None
+
+
+def _anchor_cached(**kwargs) -> bool:
+    """Is a gate's pooled sm=1 anchor already on disk? Missing anchor =
+    the gate pays its derivation — on a FRESH machine (empty
+    .jax_bench_cache, observed when a round starts on a new box) that turned
+    gate_complex's 170 s warm estimate into an 1100 s+ phase that overran
+    the whole budget. Gate phases price themselves with this check instead
+    of the global _warm() proxy, and fall back to their cached result when
+    the honest estimate does not fit."""
+    try:
+        from montecarlo_tpu.validation import anchor_cache_exists
+        return bool(anchor_cache_exists(**kwargs))
+    except Exception:  # pragma: no cover - keep the bench running
+        return False
 
 
 def _backend_watchdog():
@@ -522,10 +538,12 @@ def main():
             from montecarlo_tpu.validation import cross_sm_check
             return cross_sm_check(L=L, beta=BETA, dtype=DTYPE,
                                   safe_mult=SAFE_MULT, use_pallas=USE_PALLAS)
-        # cold est 300: the sm=1 anchor is disk-cached (r4 derived it), so
-        # cold means candidate-pool compiles only (r5 probe measured 95 s
-        # anchor-cached; r4 measured 260 s with a COLD anchor)
-        g = phase("gate_headline", 300, _headline_gate, est_warm=110)
+        # price on the anchor's own cache state (fresh box = cold anchor:
+        # measured 299 s; anchor-cached warm runs measured 95-110 s)
+        _anch_ok = _anchor_cached(L=L, beta=BETA, dtype=DTYPE,
+                                  use_pallas=USE_PALLAS)
+        g = phase("gate_headline", 300 if _anch_ok else 400, _headline_gate,
+                  est_warm=110 if _anch_ok else None)
         if isinstance(g, dict) and "ok" in g:
             anchor_pool = g.pop("_anchor_pool", None)
             RESULT["cross_sm_validation"] = _gate_fields(g)
@@ -653,12 +671,29 @@ def main():
                                       use_pallas=USE_PALLAS, peierls=theta,
                                       cand_seeds=(123,), cand_sweeps=150,
                                       cand_thermalization=50)
-            g = phase("gate_complex", 400, _cplx_gate, est_warm=170)
+            # price the phase on its OWN anchor's cache state, not the
+            # global _warm() proxy: with the anchor on disk the phase is
+            # candidate-only (~170 s warm); without it, anchor derivation
+            # dominates (r4 measured 707 s; 1100 s+ on a fresh box)
+            import numpy as _np
+            _rng = _np.random.default_rng(0)
+            _phis = _rng.uniform(0.0, 2 * _np.pi, L * L)
+            _anch_ok = _anchor_cached(L=L, beta=BETA, dtype=DTYPE,
+                                      use_pallas=USE_PALLAS,
+                                      peierls=_phis[:, None] - _phis[None, :])
+            g = phase("gate_complex", 400 if _anch_ok else 1100, _cplx_gate,
+                      est_warm=170 if _anch_ok else None)
             if isinstance(g, dict) and "ok" in g:
                 g.pop("_anchor_pool", None)
-                cplx_mode["cross_sm_validation"] = _gate_fields(g)
+                fields = _gate_fields(g)
+                cplx_mode["cross_sm_validation"] = fields
+                _gate_cache_write("gate_complex", fields)
             elif g is not None:
                 cplx_mode["cross_sm_validation"] = g
+            else:  # skipped for budget — fall back to the cached result
+                cached = _gate_cache_read("gate_complex")
+                if cached is not None:
+                    cplx_mode["cross_sm_validation"] = cached
     RESULT["complex_mode"] = cplx_mode
 
     # ---- 11. strict-f64 validation mode (pinned every round) -------------
@@ -707,17 +742,23 @@ def main():
                 dtype=DTYPE, safe_mult=SAFE_MULT, use_pallas=USE_PALLAS,
                 n_chains=32, sweeps=200, thermalization=60,
                 observables=EQUAL_TIME_OBSERVABLES)
-        g = phase("gate_l16", 950, _l16_gate, est_warm=620)
+        from montecarlo_tpu.validation import EQUAL_TIME_OBSERVABLES
+        _anch_ok = _anchor_cached(L=16, beta=gate_beta, dtype=DTYPE,
+                                  use_pallas=USE_PALLAS, n_chains=32,
+                                  sweeps=200, thermalization=60,
+                                  observables=EQUAL_TIME_OBSERVABLES)
+        g = phase("gate_l16", 950 if _anch_ok else 1900, _l16_gate,
+                  est_warm=620 if _anch_ok else None)
         if isinstance(g, dict) and "ok" in g:
             g.pop("_anchor_pool", None)
             fields = _gate_fields(g)
             fields["beta"] = gate_beta
             l16_mode["cross_sm_validation"] = fields
-            _gate_l16_cache_write(fields)
+            _gate_cache_write("gate_l16", fields)
         elif g is not None:
             l16_mode["cross_sm_validation"] = g
         else:  # skipped for budget — fall back to the cached result
-            cached = _gate_l16_cache_read()
+            cached = _gate_cache_read("gate_l16")
             if cached is not None:
                 l16_mode["cross_sm_validation"] = cached
     RESULT["l16_mode"] = l16_mode

@@ -132,6 +132,33 @@ def _anchor_cache_path(cfg: Dict) -> str:
     return os.path.join(base, f"anchor_{h}.npz")
 
 
+def anchor_cache_exists(L: int = 8, beta: float = 10.0, U: float = 4.0,
+                        mu: float = 0.0, dtype: str = "float32",
+                        anchor_sm: int = 1, n_chains: int = 64,
+                        sweeps: int = 300, thermalization: int = 100,
+                        measure_rate: int = 5,
+                        seeds: Sequence[int] = (123, 321),
+                        use_pallas: bool = False, peierls=None,
+                        anchor_use_pallas=None,
+                        observables: Sequence[str] = DEFAULT_OBSERVABLES,
+                        **_candidate_only) -> bool:
+    """True when the pooled sm=1 anchor for this `cross_sm_check`
+    configuration is already on disk. Lets callers (bench.py) price a gate
+    phase honestly: a missing anchor means the gate pays the full anchor
+    derivation (the expensive half), which on a fresh machine is the
+    difference between a ~3-min and a ~15-min phase. Accepts (and ignores)
+    the cand_* overrides so it can be called with a gate's exact kwargs."""
+    import os
+    cfg = dict(L=L, beta=beta, U=U, mu=mu, dtype=dtype, n_chains=n_chains,
+               sweeps=sweeps, thermalization=thermalization,
+               measure_rate=measure_rate, seeds=seeds, peierls=peierls,
+               observables=observables)
+    a_pallas = use_pallas if anchor_use_pallas is None else anchor_use_pallas
+    path = _anchor_cache_path(dict(cfg, safe_mult=anchor_sm,
+                                   use_pallas=a_pallas, version=1))
+    return bool(path) and os.path.exists(path)
+
+
 def load_or_run_anchor(cfg_for_key: Dict, **pooled_kwargs) -> Dict:
     """pooled_run with a persistent on-disk cache (see _anchor_cache_path)."""
     import os

@@ -59,3 +59,31 @@ def test_bonferroni_scales_with_components():
     _, _, tols1 = compare_pools({"occ": _pool(0.5, 1e-3, seed=5)},
                                 {"occ": _pool(0.5, 1e-3, seed=6)})
     assert tols1["occ"] < tols["G"]
+
+
+def test_anchor_cache_exists_key_roundtrip(tmp_path, monkeypatch):
+    """anchor_cache_exists must reconstruct exactly the cfg key that
+    load_or_run_anchor writes under — a drifted default would silently
+    misprice every bench gate phase (fresh-box budget overrun, round 5)."""
+    import numpy as _np
+
+    from montecarlo_tpu import validation as v
+
+    monkeypatch.setenv("MC_TPU_ANCHOR_CACHE", str(tmp_path))
+    theta = _np.arange(4.0).reshape(2, 2)
+    kwargs = dict(L=2, beta=0.5, dtype="float32", use_pallas=False,
+                  n_chains=3, sweeps=4, thermalization=2, peierls=theta,
+                  observables=("occ",))
+    assert not v.anchor_cache_exists(**kwargs)
+    # write a dummy record at the path cross_sm_check would use
+    cfg = dict(L=2, beta=0.5, U=4.0, mu=0.0, dtype="float32", n_chains=3,
+               sweeps=4, thermalization=2, measure_rate=5, seeds=(123, 321),
+               peierls=theta, observables=("occ",))
+    path = v._anchor_cache_path(dict(cfg, safe_mult=1, use_pallas=False,
+                                     version=1))
+    _np.savez(path, dummy=_np.zeros(1))
+    assert v.anchor_cache_exists(**kwargs)
+    # candidate-only overrides must not change the anchor key
+    assert v.anchor_cache_exists(cand_seeds=(1,), cand_sweeps=2, **kwargs)
+    # a differing anchor-protocol field must miss
+    assert not v.anchor_cache_exists(**{**kwargs, "n_chains": 5})
